@@ -1,0 +1,218 @@
+"""Stream encoder: jitted batch pipeline + host-side stream assembly.
+
+Architecture (vs the reference's callback-driven single-frame pipeline,
+src/libFLAC/stream_encoder.c):
+
+  [B, C, N] int32 PCM blocks
+      -> stereo candidates + wasted bits        (models/stereo.py)
+      -> exact candidate grid search + realize  (models/subframe.py)
+      -> channel assignment argmin              (models/stereo.py)
+      -> field assembly, bit-pack, CRCs         (models/frame.py)
+      -> [B, W] packed words + lengths
+
+The host assembler slices the padded word buffers and concatenates frames
+in order; MD5 runs on the host (hashlib) overlapping device compute; the
+STREAMINFO block is back-patched at finish exactly like update_metadata_
+(stream_encoder.c:3139-3300).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import io
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import format as fmt
+from .config import EncoderConfig
+from .models import frame as frame_mod
+from .models import stereo as stereo_mod
+from .models import subframe as subframe_mod
+from .ops import lpc as lpc_ops
+from .utils.bits import BitWriter
+
+
+@functools.lru_cache(maxsize=None)
+def _bank_for(cfg: EncoderConfig, blocksize: int):
+    return lpc_ops.build_apodization_bank(blocksize, cfg.apodizations)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "blocksize"))
+def encode_batch(pcm, first_frame_number, cfg: EncoderConfig,
+                 blocksize: int):
+    """Encode a batch of equal-size blocks into packed FLAC frames.
+
+    pcm: [B, C, N] int32 (N == blocksize)
+    first_frame_number: scalar int — frame index of pcm[0]
+    Returns frame_mod.PackedFrames.
+    """
+    B = pcm.shape[0]
+    bank = _bank_for(cfg, blocksize)
+    x, bps_eff, wasted = stereo_mod.build_channel_candidates(pcm, cfg)
+    choice = subframe_mod.search_and_realize(x, bps_eff, wasted, cfg, bank)
+    if pcm.shape[1] == 2 and cfg.do_mid_side:
+        assignment, ch_index = stereo_mod.select_assignment(choice.bits, cfg)
+        choice = stereo_mod.gather_channels(choice, ch_index)
+        signal = stereo_mod.gather_channels(x, ch_index)
+    else:
+        assignment = jnp.zeros((B,), jnp.int32)
+        signal = x
+    frame_numbers = first_frame_number + jnp.arange(B, dtype=jnp.int64)
+    return frame_mod.assemble_frames(choice, signal, assignment,
+                                     frame_numbers, cfg, blocksize)
+
+
+def _md5_bytes_per_sample(bps: int) -> int:
+    return (bps + 7) // 8
+
+
+def interleave_for_md5(pcm: np.ndarray, bps: int) -> bytes:
+    """Interleave [C, N] int32 -> little-endian signed bytes/sample stream
+    (FLAC__MD5Accumulate, md5.c:388-520)."""
+    C, N = pcm.shape
+    nb = _md5_bytes_per_sample(bps)
+    inter = np.ascontiguousarray(pcm.T.astype(np.int32))   # [N, C]
+    if nb == 4:
+        return inter.tobytes()
+    le = inter.astype("<i4").view(np.uint8).reshape(N, C, 4)
+    return np.ascontiguousarray(le[:, :, :nb]).tobytes()
+
+
+class StreamInfo:
+    """STREAMINFO metadata block (format.h:536-544)."""
+
+    def __init__(self, cfg: EncoderConfig):
+        self.min_blocksize = cfg.blocksize
+        self.max_blocksize = cfg.blocksize
+        self.min_framesize = (1 << 24) - 1
+        self.max_framesize = 0
+        self.sample_rate = cfg.sample_rate
+        self.channels = cfg.channels
+        self.bits_per_sample = cfg.bits_per_sample
+        self.total_samples = 0
+        self.md5 = b"\x00" * 16
+
+    def to_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.write(self.min_blocksize, 16)
+        bw.write(self.max_blocksize, 16)
+        bw.write(self.min_framesize if self.max_framesize else 0, 24)
+        bw.write(self.max_framesize, 24)
+        bw.write(self.sample_rate, 20)
+        bw.write(self.channels - 1, 3)
+        bw.write(self.bits_per_sample - 1, 5)
+        bw.write(self.total_samples, 36)
+        bw.write_bytes(self.md5)
+        return bw.getvalue()
+
+
+def metadata_block_header(block_type: int, length: int,
+                          is_last: bool) -> bytes:
+    return struct.pack(">I", ((1 if is_last else 0) << 31)
+                       | (block_type << 24) | length)
+
+
+class StreamEncoder:
+    """Host-side streaming encoder: buffers PCM, dispatches device batches,
+    assembles the byte stream, back-patches STREAMINFO at finish."""
+
+    def __init__(self, out, cfg: EncoderConfig, *, batch_frames: int = 64,
+                 padding: int = 4096, extra_metadata: list | None = None):
+        self.out = out
+        self.cfg = cfg.resolve()
+        self.batch_frames = batch_frames
+        self.blocksize = self.cfg.blocksize
+        self._buf = np.zeros((self.cfg.channels, 0), np.int32)
+        self._frame_number = 0
+        self._md5 = hashlib.md5()
+        self._info = StreamInfo(self.cfg)
+        self._header_pos = None
+        self._write_stream_header(padding, extra_metadata or [])
+
+    def _write_stream_header(self, padding: int, extra: list):
+        self.out.write(fmt.STREAM_SYNC_STRING)
+        self._header_pos = self.out.tell()
+        si = self._info.to_bytes()
+        is_last = padding <= 0 and not extra
+        self.out.write(metadata_block_header(
+            fmt.METADATA_TYPE_STREAMINFO, len(si), is_last))
+        self.out.write(si)
+        for i, blk in enumerate(extra):
+            last = (padding <= 0) and i == len(extra) - 1
+            self.out.write(metadata_block_header(blk[0], len(blk[1]), last))
+            self.out.write(blk[1])
+        if padding > 0:
+            self.out.write(metadata_block_header(
+                fmt.METADATA_TYPE_PADDING, padding, True))
+            self.out.write(b"\x00" * padding)
+
+    def process(self, pcm: np.ndarray):
+        """pcm: [C, n] int32 interleaved-by-channel samples."""
+        assert pcm.shape[0] == self.cfg.channels
+        self._md5.update(interleave_for_md5(pcm, self.cfg.bits_per_sample))
+        self._info.total_samples += pcm.shape[1]
+        self._buf = np.concatenate([self._buf, pcm.astype(np.int32)], axis=1)
+        self._drain(final=False)
+
+    def _drain(self, final: bool):
+        N = self.blocksize
+        while True:
+            if final:
+                avail = self._buf.shape[1] // N
+            else:
+                # keep >= 1 sample beyond the last full block so the final
+                # (possibly short) block is only emitted at finish
+                # (OVERREAD_ buffering, stream_encoder.c:2554-2565)
+                avail = max(0, (self._buf.shape[1] - 1) // N)
+            if avail == 0:
+                break
+            nb = min(avail, self.batch_frames)
+            chunk = self._buf[:, :nb * N]
+            self._buf = self._buf[:, nb * N:]
+            blocks = chunk.reshape(self.cfg.channels, nb, N).transpose(
+                1, 0, 2)
+            self._emit(blocks, N)
+        if final and self._buf.shape[1] > 0:
+            blocks = self._buf.reshape(self.cfg.channels, 1, -1).transpose(
+                1, 0, 2)
+            self._emit(blocks, self._buf.shape[1])
+            self._buf = self._buf[:, :0]
+
+    def _emit(self, blocks: np.ndarray, N: int):
+        """blocks: [B, C, N] int32."""
+        packed = encode_batch(jnp.asarray(blocks),
+                              np.int64(self._frame_number), self.cfg, N)
+        words = np.asarray(packed.words)
+        lens = np.asarray(packed.byte_len)
+        data = words.astype(">u4").tobytes()
+        wbytes = np.frombuffer(data, np.uint8).reshape(words.shape[0], -1)
+        for i in range(words.shape[0]):
+            L = int(lens[i])
+            self.out.write(wbytes[i, :L].tobytes())
+            self._info.min_framesize = min(self._info.min_framesize, L)
+            self._info.max_framesize = max(self._info.max_framesize, L)
+        self._frame_number += words.shape[0]
+
+    def finish(self):
+        self._drain(final=True)
+        self._info.md5 = self._md5.digest()
+        if self.out.seekable():
+            pos = self.out.tell()
+            self.out.seek(self._header_pos + 4)
+            self.out.write(self._info.to_bytes())
+            self.out.seek(pos)
+        return self._info
+
+
+def encode_file_to_flac(pcm: np.ndarray, cfg: EncoderConfig,
+                        out=None, **kw) -> bytes:
+    """Convenience one-shot: pcm [C, n] int32 -> FLAC byte stream."""
+    buf = out or io.BytesIO()
+    enc = StreamEncoder(buf, cfg, **kw)
+    enc.process(pcm)
+    enc.finish()
+    return buf.getvalue() if out is None else None

@@ -1,0 +1,236 @@
+"""Frame assembly: subframe choices -> field lists -> packed FLAC frames.
+
+This is the TPU-native replacement for the reference's per-frame sequential
+framing (stream_encoder_framing.c + bitwriter.c): every frame in the batch
+is described as a fixed-shape list of (nzeros, payload, pbits) fields which
+ops/bitpack.py scatters into word buffers in parallel, then CRC-8/16 are
+computed on-device and OR-deposited into their (zero) slots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import format as fmt
+from ..config import EncoderConfig
+from ..ops import bitpack, rice as rice_ops
+from .subframe import SubframeChoice
+
+_UTF8_SLOTS = 7
+
+
+class PackedFrames(NamedTuple):
+    words: jnp.ndarray       # [B, W] uint32 big-endian packed frames
+    byte_len: jnp.ndarray    # [B] int32
+    bits: jnp.ndarray        # [B] int64 diagnostic: pre-padding frame bits
+
+
+def _utf8_fields(n):
+    """Device-side FLAC UTF-8 number coding -> 7 byte fields.
+
+    n: [B] int64 (< 2^36).  Returns (payload [B,7] uint32, pbits [B,7]).
+    Mirrors bitwriter.c:832-930.
+    """
+    n = n.astype(jnp.int64)
+    thresholds = jnp.asarray([0x80, 0x800, 0x10000, 0x200000, 0x4000000,
+                              0x80000000, 0x1000000000], jnp.int64)
+    L = 1 + jnp.sum(n[:, None] >= thresholds[None, :], axis=1)  # [B] 1..7
+    lead_mask = jnp.asarray([0, 0, 0xC0, 0xE0, 0xF0, 0xF8, 0xFC, 0xFE],
+                            jnp.int64)
+    payloads = []
+    pbits = []
+    for j in range(_UTF8_SLOTS):
+        sh = 6 * (L - 1 - j)
+        sh = jnp.clip(sh, 0, 63)
+        chunk = (n >> sh) & 0x3F
+        lead_bits = jnp.clip(7 - L, 0, 7)  # payload bits in lead byte
+        lead_val = lead_mask[L] | (n >> sh) & ((1 << lead_bits) - 1)
+        b = jnp.where(j == 0,
+                      jnp.where(L == 1, n, lead_val),
+                      0x80 | chunk)
+        valid = j < L
+        payloads.append(jnp.where(valid, b, 0).astype(jnp.uint32))
+        pbits.append(jnp.where(valid, 8, 0).astype(jnp.int32))
+    return jnp.stack(payloads, 1), jnp.stack(pbits, 1), L
+
+
+def assemble_frames(choice: SubframeChoice, signal, assignment,
+                    frame_numbers, cfg: EncoderConfig,
+                    blocksize: int) -> PackedFrames:
+    """Build and pack one batch of frames.
+
+    choice:        SubframeChoice gathered to output channels [B, C, ...]
+    signal:        [B, C, N] int32 wasted-shifted signals (verbatim payloads)
+    assignment:    [B] int32 channel assignment (0..3), 0 for non-stereo
+    frame_numbers: [B] int64
+    blocksize:     static N for this batch (the final partial block gets its
+                   own trace)
+    """
+    B, C, N = signal.shape
+    P = choice.params.shape[-1]
+    maskN = (jnp.uint32(1) << 31)  # unused sentinel
+
+    nz_list, pay_list, pb_list = [], [], []
+
+    def add(nzeros, payload, pbits):
+        nz_list.append(nzeros.astype(jnp.int32))
+        pay_list.append(payload.astype(jnp.uint32))
+        pb_list.append(pbits.astype(jnp.int32))
+
+    zeros = jnp.zeros((B,), jnp.int32)
+
+    # ---- frame header: first 4 bytes ----
+    bs_code, bs_tail, bs_tail_bits = fmt.blocksize_code(blocksize)
+    sr_code, sr_tail, sr_tail_bits = fmt.sample_rate_code(cfg.sample_rate)
+    bps_code = fmt.bps_code(cfg.bits_per_sample)
+    if C == 2:
+        ch_code = jnp.where(assignment == 0, 1, 7 + assignment)
+    else:
+        ch_code = jnp.full((B,), C - 1, jnp.int32)
+    hdr32 = ((fmt.FRAME_HEADER_SYNC << 18)  # sync(14) res(1) blocking(1)=0
+             | (bs_code << 12) | (sr_code << 8)
+             | (ch_code.astype(jnp.int64) << 4) | (bps_code << 1))
+    add(zeros[:, None], hdr32[:, None].astype(jnp.uint32),
+        jnp.full((B, 1), 32, jnp.int32))
+
+    # ---- UTF-8 frame number ----
+    u8_pay, u8_pb, u8_len = _utf8_fields(frame_numbers)
+    add(jnp.zeros_like(u8_pb), u8_pay, u8_pb)
+
+    # ---- blocksize / sample-rate tails ----
+    add(zeros[:, None], jnp.full((B, 1), bs_tail, jnp.uint32),
+        jnp.full((B, 1), bs_tail_bits, jnp.int32))
+    add(zeros[:, None], jnp.full((B, 1), sr_tail, jnp.uint32),
+        jnp.full((B, 1), sr_tail_bits, jnp.int32))
+
+    # ---- CRC-8 slot (value deposited after packing) ----
+    add(zeros[:, None], jnp.zeros((B, 1), jnp.uint32),
+        jnp.full((B, 1), 8, jnp.int32))
+    hdr_bytes = 4 + u8_len.astype(jnp.int32) + (bs_tail_bits // 8) \
+        + (sr_tail_bits // 8)            # bytes covered by CRC-8
+
+    # ---- per-channel subframes ----
+    n_idx = jnp.arange(N, dtype=jnp.int32)
+    for c in range(C):
+        t = choice.type_[:, c]
+        order = choice.order[:, c]
+        wasted = choice.wasted[:, c]
+        bps_eff = choice.bps_eff[:, c]
+        prec = choice.precision[:, c]
+        shift = choice.shift[:, c]
+        po = choice.po[:, c]
+        params = choice.params[:, c]      # [B, P]
+        rice2 = choice.use_rice2[:, c]
+        residual = choice.residual[:, c]  # [B, N] int32
+        warm = choice.warmup[:, c]        # [B, 32]
+        sig = signal[:, c]
+
+        is_c = t == fmt.SUBFRAME_TYPE_CONSTANT
+        is_v = t == fmt.SUBFRAME_TYPE_VERBATIM
+        is_f = t == fmt.SUBFRAME_TYPE_FIXED
+        is_l = t == fmt.SUBFRAME_TYPE_LPC
+        has_res = is_f | is_l
+
+        # subframe header byte: pad(1)+type(6)+wasted_flag(1)
+        type_byte = jnp.where(
+            is_c, 0x00, jnp.where(
+                is_v, 0x02, jnp.where(
+                    is_f, 0x10 | (order << 1), 0x40 | ((order - 1) << 1))))
+        wflag = (wasted > 0).astype(jnp.int32)
+        add(zeros[:, None], (type_byte | wflag)[:, None],
+            jnp.full((B, 1), 8, jnp.int32))
+        # wasted unary: (w-1) zeros + stop bit
+        add(jnp.maximum(wasted - 1, 0)[:, None],
+            wflag[:, None].astype(jnp.uint32),
+            wflag[:, None])
+
+        # warmup samples (bps_eff bits each) / constant value — warmup
+        # precedes the LPC precision/shift/coefficient fields in the spec
+        j_idx = jnp.arange(fmt.MAX_LPC_ORDER, dtype=jnp.int32)
+        wmask = (jnp.int64(1) << bps_eff) - 1
+        wpay = (warm.astype(jnp.int64) & wmask[:, None]).astype(jnp.uint32)
+        wpb = jnp.where(
+            has_res[:, None] & (j_idx < order[:, None]), bps_eff[:, None],
+            jnp.where(is_c[:, None] & (j_idx == 0), bps_eff[:, None], 0))
+        add(jnp.zeros_like(wpb), wpay, wpb)
+
+        # LPC precision-1 (4 bits) + shift (5 bits)
+        add(zeros[:, None],
+            (((prec - 1) << 5) | shift)[:, None].astype(jnp.uint32),
+            jnp.where(is_l, 9, 0)[:, None].astype(jnp.int32))
+
+        # LPC coefficients (prec bits each, signed two's complement)
+        cmask = (jnp.int64(1) << prec) - 1
+        qpay = (choice.qcoeffs[:, c].astype(jnp.int64)
+                & cmask[:, None]).astype(jnp.uint32)
+        cpb = jnp.where(is_l[:, None] & (j_idx < order[:, None]),
+                        prec[:, None], 0)
+        add(jnp.zeros_like(cpb), qpay, cpb)
+
+        # residual method (2) + partition order (4)
+        add(zeros[:, None],
+            ((rice2.astype(jnp.uint32) << 4) | po.astype(jnp.uint32))[:, None],
+            jnp.where(has_res, 6, 0)[:, None].astype(jnp.int32))
+
+        # partition parameters
+        plen = jnp.where(rice2, 5, 4)[:, None]
+        p_idx = jnp.arange(P, dtype=jnp.int32)
+        ppb = jnp.where(has_res[:, None] & (p_idx < (1 << po)[:, None]),
+                        plen, 0)
+        add(jnp.zeros_like(ppb), params.astype(jnp.uint32), ppb)
+
+        # samples: Rice codes (fixed/lpc) or raw (verbatim)
+        u = rice_ops.zigzag(residual)                     # [B, N] uint32
+        m = (N >> po)[:, None]                            # partition length
+        part = n_idx[None, :] // m
+        k_n = jnp.take_along_axis(params, part, axis=1)   # [B, N]
+        q = (u >> k_n.astype(jnp.uint32)).astype(jnp.int32)
+        rice_pay = (jnp.uint32(1) << k_n.astype(jnp.uint32)) \
+            | (u & ((jnp.uint32(1) << k_n.astype(jnp.uint32)) - 1))
+        in_res = n_idx[None, :] >= order[:, None]
+        smask = (jnp.int64(1) << bps_eff)[:, None] - 1
+        verb_pay = (sig.astype(jnp.int64) & smask).astype(jnp.uint32)
+        s_nz = jnp.where(has_res[:, None] & in_res, q, 0)
+        s_pay = jnp.where(has_res[:, None] & in_res, rice_pay,
+                          jnp.where(is_v[:, None], verb_pay, 0))
+        s_pb = jnp.where(has_res[:, None] & in_res, k_n + 1,
+                         jnp.where(is_v[:, None], bps_eff[:, None], 0))
+        add(s_nz, s_pay, s_pb)
+
+    # ---- byte-align padding + CRC-16 slot ----
+    bits_so_far = sum(jnp.sum(nz + pb, axis=1, dtype=jnp.int64)
+                      for nz, pb in zip(nz_list, pb_list))
+    pad = ((-bits_so_far) % 8).astype(jnp.int32)
+    add(pad[:, None], jnp.zeros((B, 1), jnp.uint32),
+        jnp.zeros((B, 1), jnp.int32))
+    add(zeros[:, None], jnp.zeros((B, 1), jnp.uint32),
+        jnp.full((B, 1), 16, jnp.int32))
+
+    nzeros = jnp.concatenate(nz_list, axis=1)
+    payload = jnp.concatenate(pay_list, axis=1)
+    pbits = jnp.concatenate(pb_list, axis=1)
+
+    # worst case: verbatim subframes + full headers, rounded to pow2 words
+    worst_bits = 64 * 8 + C * (N * (cfg.max_subframe_bps) + 16 * 8
+                               + 32 * (fmt.MAX_QLP_COEFF_PRECISION + 33)
+                               + P * 10)
+    max_words = 1 << int(np.ceil(np.log2(worst_bits / 32 + 2)))
+
+    words, total_bits = bitpack.pack_fields(nzeros, payload, pbits, max_words)
+    byte_len = total_bits // 8
+
+    # CRC-8 over the header prefix, deposited as the last header byte
+    hdr_bytes_view = bitpack.words_to_bytes(words[:, :4])
+    crc8 = bitpack.crc8_prefix(hdr_bytes_view, hdr_bytes, 16)
+    words = bitpack.deposit_byte(words, hdr_bytes, crc8)
+
+    # CRC-16 over everything before the 2-byte CRC field
+    crc16 = bitpack.crc16_words(words, byte_len - 2)
+    words = bitpack.deposit_byte(words, byte_len - 2, crc16 >> 8)
+    words = bitpack.deposit_byte(words, byte_len - 1, crc16 & 0xFF)
+
+    return PackedFrames(words=words, byte_len=byte_len,
+                        bits=bits_so_far)

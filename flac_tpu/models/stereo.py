@@ -1,0 +1,99 @@
+"""Stereo decorrelation search and wasted-bits analysis.
+
+Mirrors process_subframes_ (stream_encoder.c:3747-3971): build the four
+channel candidates (left, right, mid, side), compute wasted bits per
+candidate, and after the subframe search pick the channel assignment with
+the smallest total.  All four candidates are evaluated unconditionally as
+one batched CH axis — the TPU-native replacement for the reference's
+sequential per-channel loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import format as fmt
+from ..config import EncoderConfig
+
+# channel-candidate indices on the CH axis
+L, R, M, S = 0, 1, 2, 3
+
+# per-assignment (ch0, ch1) candidate indices
+# (frame_add_header channel codes: independent / left-side / right-side /
+#  mid-side, stream_encoder_framing.c:320-345)
+_ASSIGN_CH0 = jnp.array([L, L, S, M])
+_ASSIGN_CH1 = jnp.array([R, S, R, S])
+
+
+def wasted_bits(x):
+    """Common trailing-zero count over each subframe's samples
+    (get_wasted_bits_, stream_encoder.c:5077-5100): 0 when the signal is
+    all-zero, else ctz of the OR of all samples."""
+    acc = jax.lax.reduce(x.astype(jnp.int32), jnp.int32(0),
+                         jax.lax.bitwise_or, (x.ndim - 1,))
+    nz = acc != 0
+    low = acc & -acc
+    ctz = jax.lax.population_count(low.astype(jnp.uint32) - 1)
+    return jnp.where(nz, ctz.astype(jnp.int32), 0)
+
+
+def build_channel_candidates(pcm, cfg: EncoderConfig):
+    """pcm [B, C, N] int32 -> candidate signals + per-candidate bps.
+
+    For stereo with mid-side search: [B, 4, N] (L, R, M, S), bps
+    [bps, bps, bps, bps+1]; otherwise the channels pass through.
+    mid = (L+R)>>1 (arithmetic), side = L-R (stream_encoder.c:3823-3836).
+    """
+    B, C, N = pcm.shape
+    bps = cfg.bits_per_sample
+    if C == 2 and cfg.do_mid_side:
+        left = pcm[:, 0]
+        right = pcm[:, 1]
+        mid = (left + right) >> 1
+        side = left - right
+        x = jnp.stack([left, right, mid, side], axis=1)
+        ch_bps = jnp.asarray([bps, bps, bps, bps + 1], jnp.int32)
+    else:
+        x = pcm
+        ch_bps = jnp.full((C,), bps, jnp.int32)
+    w = wasted_bits(x)                       # [B, CH]
+    x_shifted = x >> w[..., None]
+    bps_eff = ch_bps[None, :] - w
+    return x_shifted, bps_eff, w
+
+
+def select_assignment(bits, cfg: EncoderConfig):
+    """Choose the channel assignment minimizing total bits.
+
+    bits: [B, 4] best subframe bits per candidate (L, R, M, S).
+    Returns (assignment [B] int32, ch_index [B, 2] int32) where ch_index
+    maps output channel slots to candidate rows.
+
+    Mirrors the 4-way argmin at stream_encoder.c:3944-3971.
+    """
+    totals = jnp.stack([
+        bits[:, L] + bits[:, R],     # independent
+        bits[:, L] + bits[:, S],     # left-side
+        bits[:, R] + bits[:, S],     # right-side
+        bits[:, M] + bits[:, S],     # mid-side
+    ], axis=1)
+    assignment = jnp.argmin(totals, axis=1).astype(jnp.int32)
+    ch_index = jnp.stack([_ASSIGN_CH0[assignment],
+                          _ASSIGN_CH1[assignment]], axis=1)
+    return assignment, ch_index
+
+
+def gather_channels(choice_tree, ch_index):
+    """Select the winning channel-candidates from a SubframeChoice pytree.
+
+    choice_tree: pytree of arrays with axis 1 = CH (4 candidates)
+    ch_index:    [B, C_out] int32
+    Returns the same pytree with axis 1 = C_out.
+    """
+    def pick(a):
+        idx = ch_index
+        while idx.ndim < a.ndim:
+            idx = idx[..., None]
+        return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+    return jax.tree.map(pick, choice_tree)

@@ -1,0 +1,142 @@
+"""Partitioned Rice coding: exact parameter + partition-order search.
+
+TPU-native counterpart of the reference's residual entropy search
+(stream_encoder.c:4701-5075).  The reference estimates the Rice parameter
+from each partition's |residual| sum and merges sums bottom-up through the
+partition tree.  Here we compute *exact* code lengths for every
+(partition-order, partition, parameter) triple in one batched pass:
+
+    bits(p, k) = n_p * (k + 1) + sum_{i in p} (fold(r_i) >> k)
+
+which is the exact partitioned-Rice cost (cf. the
+EXACT_RICE_BITS_CALCULATION variant, stream_encoder.c:4913-4927).  The
+minimum over k per partition and over partition orders is therefore never
+worse than the reference's estimate-driven choice — the foundation of the
+"<= libFLAC size" guarantee.
+
+Everything is pure tensor math over [..., N] residual batches: zigzag fold,
+K shifted partition-sum reductions at the finest level, then log-depth
+pair-merges up the tree — no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..format import (ENTROPY_CODING_METHOD_PARTITIONED_RICE_PARAMETER_LEN,
+                      ENTROPY_CODING_METHOD_PARTITIONED_RICE2_PARAMETER_LEN)
+
+BIG = 1 << 40  # sentinel cost for invalid configurations
+
+
+def zigzag(residual):
+    """Fold signed residual to unsigned: u = (r<<1) ^ (r>>31)
+    (bitwriter.c:616-625).  Returned in an unsigned dtype wide enough for
+    the input."""
+    dt = residual.dtype
+    nbits = jnp.iinfo(dt).bits
+    folded = (residual << 1) ^ (residual >> (nbits - 1))
+    return folded.astype(jnp.uint32 if nbits <= 32 else jnp.uint64)
+
+
+def partition_cost_table(u, order, N: int, max_po: int, kmax: int,
+                         plen: int = 4):
+    """Exact Rice cost machinery over all partition orders and parameters.
+
+    u:      [..., N] uint32 zigzag-folded residual; positions < order MUST
+            be zero (they're warmup positions, excluded from coding).
+    order:  [...] int32 predictor order (traced).
+    max_po: static int — highest partition order to consider (blocksize
+            divisibility cap already applied; per-candidate order limits
+            are masked here).
+    kmax:   static int — highest Rice parameter (14 for RICE, 30 for RICE2).
+
+    Returns:
+      best_bits [..., max_po+1] int64 — total residual-coding bits at each
+          partition order (sum over partitions of per-partition best cost,
+          each including its parameter-field bits), or BIG if invalid;
+          does NOT include the 2-bit method + 4-bit order fields.
+      best_k    [..., max_po+1, 2^max_po] int32 — best parameter per
+          partition at each order (entries beyond 2^po unused).
+    """
+    P = 1 << max_po
+    m = N >> max_po                       # finest partition length
+    batch = u.shape[:-1]
+
+    # finest-level sums of (u >> k) for every k: [..., P, K]
+    uf = u.reshape(batch + (P, m)).astype(jnp.int64)
+    sums_k = []
+    for k in range(kmax + 1):
+        sums_k.append(jnp.sum(uf >> k, axis=-1))
+    fin = jnp.stack(sums_k, axis=-1)      # [..., P, K]
+
+    K = kmax + 1
+    levels_bits = []
+    levels_k = []
+    order64 = order.astype(jnp.int64)
+
+    sums = fin
+    for po in range(max_po, -1, -1):
+        parts = 1 << po
+        n_p = jnp.full((parts,), N >> po, dtype=jnp.int64)
+        # partition 0 excludes the predictor warmup samples
+        n_eff = jnp.broadcast_to(n_p, batch + (parts,)).at[..., 0].add(
+            -order64)
+        ks = jnp.arange(K, dtype=jnp.int64)
+        # cost per (partition, k): n*(k+1) + sum(u>>k) + parameter field
+        cost = n_eff[..., None] * (ks + 1) + sums + plen
+        best = jnp.min(cost, axis=-1)                   # [..., parts]
+        bk = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+        total = jnp.sum(best, axis=-1)                  # [...]
+        # validity: every partition must have more samples than... only
+        # partition 0 shrinks; require n_eff[0] > 0 (the reference requires
+        # partition_samples > predictor_order at the max order via
+        # format.c:541-553 and > 0 here, set_partitioned_rice_:5005)
+        valid = n_eff[..., 0] > 0
+        total = jnp.where(valid, total, BIG)
+        levels_bits.append(total)
+        # pad best_k to P entries
+        pad = P - parts
+        bk_p = jnp.pad(bk, [(0, 0)] * (bk.ndim - 1) + [(0, pad)])
+        levels_k.append(bk_p)
+        if po > 0:
+            # merge pairs for the next (coarser) level
+            sums = sums.reshape(batch + (parts // 2, 2, K)).sum(axis=-2)
+
+    # levels were built from max_po down to 0; index result by po directly
+    best_bits = jnp.stack(levels_bits[::-1], axis=-1)   # [..., max_po+1]
+    best_k = jnp.stack(levels_k[::-1], axis=-2)         # [..., max_po+1, P]
+    return best_bits, best_k
+
+
+def rice2_adjust(best_bits, best_k, max_po: int, kmax: int):
+    """Account for the RICE/RICE2 method choice exactly.
+
+    The cost table charges 4 bits per parameter.  If any partition's best
+    parameter is >= 15 the stream must use RICE2 (5-bit parameters for ALL
+    partitions, stream_encoder.c:4786-4794).  For bps > 16 we therefore
+    compute both: cost4 with k clamped <= 14, and cost5 = unrestricted +1
+    bit/partition, and take the min — at least as good as the reference,
+    which simply eats the extra bit.  Caller uses `use_rice2` to emit the
+    method field and 5-bit parameters.
+
+    Only call this when kmax > 14; for <=16 bps streams params can't exceed
+    14 so plain RICE always applies.
+    """
+    raise NotImplementedError("wired in models/subframe once hi-res lands")
+
+
+def residual_coding_bits(best_bits, max_po_limit):
+    """Total subframe residual bits per partition order, adding the 2-bit
+    method + 4-bit partition-order fields; orders beyond the per-candidate
+    limit are invalidated.
+
+    best_bits:    [..., L] from partition_cost_table
+    max_po_limit: [...] int32 — highest legal partition order per candidate
+                  (depends on predictor order via format.c:541-553)
+    Returns (bits [..., L] int64, with method/order field included).
+    """
+    L = best_bits.shape[-1]
+    po = jnp.arange(L)
+    ok = po <= max_po_limit[..., None]
+    return jnp.where(ok, best_bits + 2 + 4, BIG)

@@ -1,0 +1,51 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests
+run anywhere, deterministically."""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+# the axon sitecustomize force-registers the TPU backend; tests run on a
+# deterministic 8-device virtual CPU mesh instead
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+REFERENCE_FLAC = "/root/repo/.ref_build/src/flac/flac"
+
+
+@pytest.fixture(scope="session")
+def oracle_flac():
+    """Path to the reference flac binary, or skip."""
+    if not os.path.exists(REFERENCE_FLAC):
+        pytest.skip("reference flac binary not built")
+    return REFERENCE_FLAC
+
+
+def make_test_signal(n: int, channels: int = 2, bps: int = 16,
+                     seed: int = 0, kind: str = "music"):
+    """Deterministic pseudo-musical test signal: sum of sines + noise with
+    varying amplitude, the standard shape FLAC compresses well."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 44100.0
+    full = (1 << (bps - 1)) - 1
+    out = np.zeros((channels, n))
+    for c in range(channels):
+        sig = np.zeros(n)
+        for f, a in ((220 * (c + 1), 0.4), (440, 0.2), (1230.5, 0.1)):
+            sig += a * np.sin(2 * np.pi * f * t + c)
+        sig += 0.02 * rng.standard_normal(n)
+        env = 0.1 + 0.9 * (0.5 + 0.5 * np.sin(2 * np.pi * 0.3 * t))
+        out[c] = sig * env
+    out = np.clip(out * 0.5 * full, -full - 1, full)
+    return np.round(out).astype(np.int32)
+
+
+@pytest.fixture
+def music():
+    return make_test_signal(44100)
