@@ -175,14 +175,11 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
             ((rice2.astype(jnp.uint32) << 4) | po.astype(jnp.uint32))[:, None],
             jnp.where(has_res, 6, 0)[:, None].astype(jnp.int32))
 
-        # partition parameters
-        plen = jnp.where(rice2, 5, 4)[:, None]
-        p_idx = jnp.arange(P, dtype=jnp.int32)
-        ppb = jnp.where(has_res[:, None] & (p_idx < (1 << po)[:, None]),
-                        plen, 0)
-        add(jnp.zeros_like(ppb), params.astype(jnp.uint32), ppb)
-
-        # samples: Rice codes (fixed/lpc) or raw (verbatim)
+        # samples: Rice codes (fixed/lpc) or raw (verbatim).  The stream
+        # interleaves each partition's parameter with its samples, so every
+        # sample slot is paired with a parameter-prefix slot that is active
+        # only at partition starts (sample `order` for partition 0, sample
+        # p*m for p >= 1).
         u = rice_ops.zigzag(residual)                     # [B, N] uint32
         m = (N >> po)[:, None]                            # partition length
         part = n_idx[None, :] // m
@@ -198,7 +195,19 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
                           jnp.where(is_v[:, None], verb_pay, 0))
         s_pb = jnp.where(has_res[:, None] & in_res, k_n + 1,
                          jnp.where(is_v[:, None], bps_eff[:, None], 0))
-        add(s_nz, s_pay, s_pb)
+
+        plen = jnp.where(rice2, 5, 4)[:, None]
+        part_start = (n_idx[None, :] == order[:, None]) \
+            | ((n_idx[None, :] % m == 0) & (n_idx[None, :] > 0))
+        p_pb = jnp.where(has_res[:, None] & part_start, plen, 0)
+        p_pay = k_n.astype(jnp.uint32)
+
+        # interleave (prefix, sample) pairs along the slot axis
+        pair_nz = jnp.stack([jnp.zeros_like(s_nz), s_nz], axis=-1)
+        pair_pay = jnp.stack([p_pay, s_pay], axis=-1)
+        pair_pb = jnp.stack([p_pb, s_pb], axis=-1)
+        add(pair_nz.reshape(B, 2 * N), pair_pay.reshape(B, 2 * N),
+            pair_pb.reshape(B, 2 * N))
 
     # ---- byte-align padding + CRC-16 slot ----
     bits_so_far = sum(jnp.sum(nz + pb, axis=1, dtype=jnp.int64)

@@ -103,7 +103,8 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     max_po = fmt.max_rice_partition_order_limited(
         cfg.max_residual_partition_order, N, 0)
     P = 1 << max_po
-    O = cfg.max_lpc_order
+    # a final short block can be smaller than the configured max order
+    O = min(cfg.max_lpc_order, N - 1)
     overhead = 8 + wasted.astype(jnp.int64)       # subframe header bits
     bps64 = bps_eff.astype(jnp.int64)
 
@@ -129,7 +130,7 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     f_po = jnp.argmin(f_rice, axis=-1).astype(jnp.int32)
     fixed_bits = (overhead[..., None] + forder * bps64[..., None]
                   + f_rice_best)
-    fixed_bits = jnp.where(f_ok & (forder <= N), fixed_bits, BIG)
+    fixed_bits = jnp.where(f_ok & (forder < N), fixed_bits, BIG)
 
     # ---- LPC candidates: apodizations x orders ----
     if O > 0:

@@ -35,6 +35,8 @@ def _shift_right(x, j):
     """x delayed by j samples along the last axis (zeros shifted in)."""
     if j == 0:
         return x
+    if j >= x.shape[-1]:
+        return jnp.zeros_like(x)
     pad = jnp.zeros(x.shape[:-1] + (j,), dtype=x.dtype)
     return jnp.concatenate([pad, x[..., :-j]], axis=-1)
 
