@@ -1,0 +1,189 @@
+"""`flacjax` command-line tool — flag-compatible with the essential surface
+of the reference `flac` CLI (src/flac/main.c): encode, decode, test,
+analyze, presets -0..-8, blocksize/apodization/order overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flacjax",
+        description="TPU-native FLAC encoder/decoder (flac_tpu)")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("-d", "--decode", action="store_true")
+    mode.add_argument("-t", "--test", action="store_true",
+                      help="decode and verify without writing output")
+    mode.add_argument("-a", "--analyze", action="store_true",
+                      help="dump per-frame/subframe analysis")
+    for lvl in range(9):
+        p.add_argument(f"-{lvl}", dest="preset", action="store_const",
+                       const=lvl, help=argparse.SUPPRESS)
+    p.set_defaults(preset=5)
+    p.add_argument("--fast", dest="preset", action="store_const", const=0)
+    p.add_argument("--best", dest="preset", action="store_const", const=8)
+    p.add_argument("-o", "--output-name")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-s", "--silent", action="store_true")
+    p.add_argument("-b", "--blocksize", type=int)
+    p.add_argument("-l", "--max-lpc-order", type=int)
+    p.add_argument("-m", "--mid-side", action="store_true", default=None)
+    p.add_argument("-M", "--adaptive-mid-side", action="store_true",
+                   default=None)
+    p.add_argument("-r", "--rice-partition-order",
+                   help="[min,]max residual partition order")
+    p.add_argument("-A", "--apodization", action="append")
+    p.add_argument("-q", "--qlp-coeff-precision", type=int)
+    p.add_argument("-P", "--padding", type=int, default=4096)
+    p.add_argument("--lax", action="store_true",
+                   help="allow non-subset encodings")
+    p.add_argument("--batch-frames", type=int, default=64,
+                   help="frames per device batch (TPU tuning)")
+    p.add_argument("--force-raw-format", action="store_true")
+    p.add_argument("--channels", type=int, help="(raw input) channel count")
+    p.add_argument("--bps", type=int, help="(raw input) bits per sample")
+    p.add_argument("--sample-rate", type=int, help="(raw input) sample rate")
+    p.add_argument("--sign", choices=["signed", "unsigned"],
+                   default="signed")
+    p.add_argument("--endian", choices=["little", "big"], default="little")
+    p.add_argument("files", nargs="+")
+    return p
+
+
+def make_config(args, info):
+    from .config import EncoderConfig
+    cfg = EncoderConfig.from_preset(
+        args.preset, sample_rate=info.sample_rate, channels=info.channels,
+        bits_per_sample=info.bits_per_sample)
+    over = {}
+    if args.blocksize is not None:
+        over["blocksize"] = args.blocksize
+    if args.max_lpc_order is not None:
+        over["max_lpc_order"] = args.max_lpc_order
+    if args.mid_side:
+        over["do_mid_side"] = True
+        over["loose_mid_side"] = False
+    if args.adaptive_mid_side:
+        over["do_mid_side"] = True
+        over["loose_mid_side"] = True
+    if args.rice_partition_order:
+        parts = args.rice_partition_order.split(",")
+        if len(parts) == 2:
+            over["min_residual_partition_order"] = int(parts[0])
+            over["max_residual_partition_order"] = int(parts[1])
+        else:
+            over["max_residual_partition_order"] = int(parts[0])
+    if args.apodization:
+        over["apodizations"] = tuple(args.apodization)
+    if args.qlp_coeff_precision is not None:
+        over["qlp_coeff_precision"] = args.qlp_coeff_precision
+    if args.lax:
+        over["streamable_subset"] = False
+    import dataclasses
+    return dataclasses.replace(cfg, **over).resolve()
+
+
+def _read_input(path: str, args):
+    from . import container
+    data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
+    if args.force_raw_format:
+        if not (args.channels and args.bps and args.sample_rate):
+            raise SystemExit("raw input needs --channels --bps --sample-rate")
+        return container.read_raw(
+            data, sample_rate=args.sample_rate, channels=args.channels,
+            bits_per_sample=args.bps, big_endian=args.endian == "big",
+            signed=args.sign == "signed")
+    return container.sniff_and_read(data)
+
+
+def do_encode(args, path: str) -> int:
+    from .encoder import StreamEncoder
+    info = _read_input(path, args)
+    cfg = make_config(args, info)
+    out_name = args.output_name or (
+        path.rsplit(".", 1)[0] + ".flac" if path != "-" else "-")
+    t0 = time.time()
+    out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
+    enc = StreamEncoder(out, cfg, batch_frames=args.batch_frames,
+                        padding=args.padding)
+    enc.process(info.samples)
+    st = enc.finish()
+    if out is not sys.stdout.buffer:
+        size = out.tell()
+        out.close()
+        dt = time.time() - t0
+        raw = info.samples.size * ((info.bits_per_sample + 7) // 8)
+        if not args.silent:
+            print(f"{path}: wrote {out_name} ratio={size/raw:.3f} "
+                  f"({info.samples.shape[1]/info.sample_rate/dt:.1f}x "
+                  f"realtime)", file=sys.stderr)
+    return 0
+
+
+def do_decode(args, path: str) -> int:
+    from . import container
+    from .decoder import decode_stream_auto
+    data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
+    t0 = time.time()
+    st = decode_stream_auto(data)
+    dt = time.time() - t0
+    if args.test:
+        if not args.silent:
+            print(f"{path}: ok ({st.samples.shape[1]/st.sample_rate/dt:.1f}x"
+                  " realtime)", file=sys.stderr)
+        return 0
+    out_name = args.output_name or (path.rsplit(".", 1)[0] + ".wav")
+    wav = container.write_wav(st.samples, st.sample_rate, st.bits_per_sample)
+    if out_name == "-":
+        sys.stdout.buffer.write(wav)
+    else:
+        open(out_name, "wb").write(wav)
+    if not args.silent:
+        print(f"{path}: done", file=sys.stderr)
+    return 0
+
+
+def do_analyze(args, path: str) -> int:
+    from .ref_decoder import decode_stream
+    data = open(path, "rb").read()
+    st = decode_stream(data, verify_md5=False)
+    out = open(args.output_name, "w") if args.output_name else sys.stdout
+    for f in st.frames:
+        print(f"frame={f['number']}\toffset={f['offset']}\tbits={f['size']*8}"
+              f"\tblocksize={f['blocksize']}\tsample_rate={f['sample_rate']}"
+              f"\tchannels={len(f['subframes'])}"
+              f"\tchannel_assignment={f['assignment']}", file=out)
+        for c, s in enumerate(f["subframes"]):
+            extra = ""
+            if s["type"] in ("FIXED", "LPC"):
+                extra = (f"\torder={s['order']}"
+                         f"\tpartition_order={s['partition_order']}")
+            if s["type"] == "LPC":
+                extra += (f"\tqlp_coeff_precision={s['precision']}"
+                          f"\tquantization_level={s['shift']}")
+            print(f"\tsubframe={c}\ttype={s['type']}"
+                  f"\twasted_bits={s['wasted']}{extra}", file=out)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    rc = 0
+    for path in args.files:
+        if args.analyze:
+            rc |= do_analyze(args, path)
+        elif args.decode or args.test:
+            rc |= do_decode(args, path)
+        else:
+            rc |= do_encode(args, path)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

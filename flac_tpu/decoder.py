@@ -1,0 +1,468 @@
+"""Batched FLAC decoder: host frame scan + device subframe decode.
+
+TPU-native counterpart of src/libFLAC/stream_decoder.c.  The host finds
+frame boundaries (byte-aligned sync + CRC-8 verified headers — the cheap,
+I/O-bound part, cf. frame_sync_ stream_decoder.c:2321) and ships padded
+byte buffers to the device, where all frames decode in parallel:
+
+  - subframe headers/warmup/coefficients: fixed slot sequence with
+    per-lane dynamic bit consumption (0-bit reads for absent fields),
+    mirroring the encoder's field layout;
+  - residuals + prediction: one `lax.scan` over samples, vectorized over
+    the frame batch — Rice unary via clz on 64-bit windows, the order-p
+    IIR restore carried as a 32-sample history (lpc.c:978 restore and
+    bitreader.c:834 Rice reader, fused);
+  - CRC-16 validation: parallel tree-fold over frame bytes.
+
+Channels run sequentially (their bit ranges chain), frames in parallel —
+the exact transpose of the reference's per-frame sequential decode.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import format as fmt
+from .ops import bitpack
+from .ops.crc import crc8 as _crc8
+from .ref_decoder import (_BLOCKSIZE_TABLE, _BPS_TABLE, _SAMPLE_RATE_TABLE,
+                          DecodedStream, FlacDecodeError, parse_metadata)
+from .utils.bits import utf8_decode_int
+
+_U64 = jnp.uint64
+_FIXED_TAPS = np.zeros((5, 4), np.int64)
+_FIXED_TAPS[1, :1] = [1]
+_FIXED_TAPS[2, :2] = [2, -1]
+_FIXED_TAPS[3, :3] = [3, -3, 1]
+_FIXED_TAPS[4, :4] = [4, -6, 4, -1]
+
+
+# ---------------------------------------------------------------------------
+# Device bit-reading primitives (batched over lanes)
+# ---------------------------------------------------------------------------
+
+def _read_bits(buf, cursor, nbits):
+    """Read `nbits` (<= 32, may be 0) MSB-first bits at bit offset `cursor`.
+
+    buf:    [B, M] uint8 zero-padded frame bytes
+    cursor: [B] int32 bit offsets
+    nbits:  [B] int32
+    Returns (value [B] uint32, new_cursor).
+    """
+    byte0 = (cursor >> 3).astype(jnp.int32)
+    bitoff = (cursor & 7).astype(jnp.int64)
+    M = buf.shape[-1]
+    win = jnp.zeros(cursor.shape, jnp.int64)
+    for i in range(5):
+        b = jnp.take_along_axis(
+            buf, jnp.clip(byte0 + i, 0, M - 1)[..., None], axis=-1)[..., 0]
+        win = (win << 8) | b.astype(jnp.int64)
+    nb = nbits.astype(jnp.int64)
+    sh = 40 - bitoff - nb
+    val = (win >> sh) & ((jnp.int64(1) << nb) - 1)
+    return val.astype(jnp.uint32), cursor + nbits
+
+
+def _read_unary(buf, cursor):
+    """Count zero bits until the stop bit; consume through it.
+
+    Returns (q [B] int32, new_cursor).  Uses clz over 64-bit windows; loops
+    only while some lane's run crosses a window (rare).
+    """
+    M = buf.shape[-1]
+
+    def window64(cur):
+        byte0 = (cur >> 3).astype(jnp.int32)
+        w = jnp.zeros(cur.shape, _U64)
+        for i in range(8):
+            b = jnp.take_along_axis(
+                buf, jnp.clip(byte0 + i, 0, M - 1)[..., None],
+                axis=-1)[..., 0]
+            w = (w << 8) | b.astype(_U64)
+        return w
+
+    def cond(state):
+        _q, _cur, done = state
+        return ~jnp.all(done)
+
+    def body(state):
+        q, cur, done = state
+        bitoff = (cur & 7).astype(_U64)
+        w = window64(cur) << bitoff          # align: current bit at MSB
+        usable = (64 - (cur & 7)).astype(jnp.int32)
+        nz = jax.lax.clz(w).astype(jnp.int32)
+        hit = nz < usable
+        step_q = jnp.where(hit, nz, usable)
+        q = jnp.where(done, q, q + step_q)
+        cur = jnp.where(done, cur, cur + step_q + jnp.where(hit, 1, 0))
+        done = done | hit
+        return q, cur, done
+
+    q0 = jnp.zeros_like(cursor)
+    done0 = jnp.zeros(cursor.shape, bool)
+    q, cur, _ = jax.lax.while_loop(cond, body, (q0, cursor, done0))
+    return q, cur
+
+
+# ---------------------------------------------------------------------------
+# Batched frame decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("blocksize", "channels",
+                                             "max_bytes"))
+def decode_frames_device(buf, start_bits, ch_bps, blocksize: int,
+                         channels: int, max_bytes: int):
+    """Decode subframes for a batch of same-blocksize frames.
+
+    buf:        [B, max_bytes] uint8 (frame bytes, zero-padded)
+    start_bits: [B] int32 — bit offset of the first subframe
+    ch_bps:     [B, C] int32 — per-channel subframe bps (side gets +1)
+    Returns (subframe signals [B, C, N] int64 (wasted bits already undone),
+             end_bits [B] — cursor after the last subframe).
+    """
+    B = buf.shape[0]
+    N = blocksize
+    cursor = start_bits.astype(jnp.int32)
+    outputs = []
+
+    for c in range(channels):
+        bps = ch_bps[:, c]
+        # subframe header byte
+        hdr, cursor = _read_bits(buf, cursor, jnp.full((B,), 8, jnp.int32))
+        hdr = hdr.astype(jnp.int32)
+        type6 = (hdr >> 1) & 0x3F
+        wflag = hdr & 1
+        wasted = jnp.zeros((B,), jnp.int32)
+        q, cur2 = _read_unary(buf, cursor)
+        cursor = jnp.where(wflag == 1, cur2, cursor)
+        wasted = jnp.where(wflag == 1, q + 1, 0)
+        ebps = bps - wasted
+
+        is_const = type6 == 0
+        is_verb = type6 == 1
+        is_fixed = (type6 & 0x38) == 0x08
+        is_lpc = (type6 & 0x20) != 0
+        order = jnp.where(is_fixed, type6 & 0x07,
+                          jnp.where(is_lpc, (type6 & 0x1F) + 1, 0))
+        has_res = is_fixed | is_lpc
+
+        def read_signed(nbits):
+            nonlocal cursor
+            v, cursor = _read_bits(buf, cursor, nbits)
+            nb = nbits.astype(jnp.int64)
+            v = v.astype(jnp.int64)
+            sign = (v >> jnp.maximum(nb - 1, 0)) & jnp.where(nb > 0, 1, 0)
+            return v - (sign << nb)
+
+        # constant value (reuses the warmup slot position semantics)
+        const_val = read_signed(jnp.where(is_const, ebps, 0))
+
+        # warmup samples
+        warm_list = []
+        for j in range(fmt.MAX_LPC_ORDER):
+            nb = jnp.where(has_res & (j < order), ebps, 0)
+            warm_list.append(read_signed(nb))
+        warmup = jnp.stack(warm_list, axis=-1)          # [B, 32] int64
+
+        # LPC precision/shift/coefficients
+        v, cursor = _read_bits(buf, cursor, jnp.where(is_lpc, 4, 0))
+        prec = v.astype(jnp.int32) + 1
+        shift = read_signed(jnp.where(is_lpc, 5, 0)).astype(jnp.int32)
+        qlp_list = []
+        for j in range(fmt.MAX_LPC_ORDER):
+            nb = jnp.where(is_lpc & (j < order), prec, 0)
+            qlp_list.append(read_signed(nb))
+        qlp = jnp.stack(qlp_list, axis=-1)              # [B, 32] int64
+
+        # residual method + partition order
+        v, cursor = _read_bits(buf, cursor, jnp.where(has_res, 6, 0))
+        method = (v >> 4).astype(jnp.int32)
+        po = (v & 0xF).astype(jnp.int32)
+        plen = jnp.where(method == 1, 5, 4)
+        esc = (jnp.int32(1) << plen) - 1
+        m = N >> po                                      # [B]
+
+        taps = jnp.asarray(_FIXED_TAPS)
+        fixed_taps = taps[jnp.clip(order, 0, 4)]         # [B, 4]
+        pred_coeffs = jnp.where(is_lpc[:, None], qlp,
+                                jnp.pad(fixed_taps, ((0, 0), (0, 28))))
+        pred_shift = jnp.where(is_lpc, shift, 0).astype(jnp.int64)
+
+        n_idx = jnp.arange(N, dtype=jnp.int32)
+
+        def sample_step(carry, n):
+            cur, hist, k, rawbits = carry
+            # partition boundary: read the next parameter
+            at_start = (n == order) | ((n % m == 0) & (n > 0))
+            do_param = has_res & at_start
+            pv, cur_p = _read_bits(buf, cur, jnp.where(do_param, plen, 0))
+            k_new = pv.astype(jnp.int32)
+            # escape: 5-bit raw width follows
+            is_esc = do_param & (k_new == esc)
+            rw, cur_p = _read_bits(buf, cur_p, jnp.where(is_esc, 5, 0))
+            k = jnp.where(do_param, k_new, k)
+            rawbits = jnp.where(do_param,
+                                jnp.where(is_esc, rw.astype(jnp.int32), -1),
+                                rawbits)
+            cur = cur_p
+            in_res = has_res & (n >= order)
+            escaped = in_res & (rawbits >= 0)
+            riced = in_res & (rawbits < 0)
+
+            # Rice code: unary q, then k LSBs
+            uq, cur_u = _read_unary(buf, cur)
+            cur = jnp.where(riced, cur_u, cur)
+            lsb, cur_l = _read_bits(buf, cur, jnp.where(riced, k, 0))
+            cur = cur_l
+            u = (uq.astype(jnp.int64) << k.astype(jnp.int64)) \
+                | lsb.astype(jnp.int64)
+            rice_res = (u >> 1) ^ -(u & 1)
+
+            # escaped partition: raw signed rawbits
+            rv, cur = _read_bits(buf, cur, jnp.where(escaped, rawbits, 0))
+            nb = rawbits.astype(jnp.int64)
+            rvs = rv.astype(jnp.int64)
+            raw_res = rvs - (((rvs >> jnp.maximum(nb - 1, 0)) & 1) << nb)
+
+            res = jnp.where(escaped, raw_res, rice_res)
+
+            # verbatim sample
+            vv = jnp.where(is_verb, ebps, 0)
+            vraw = read_signed_scan(buf, cur, vv)
+            cur = cur + vv
+
+            pred = jnp.sum(pred_coeffs * hist, axis=-1) >> pred_shift
+            xn = jnp.where(is_const, const_val,
+                  jnp.where(is_verb, vraw,
+                   jnp.where(in_res, res + pred,
+                             jnp.take_along_axis(
+                                 warmup, jnp.minimum(n, 31)[None].repeat(
+                                     B, 0)[:, None], axis=-1)[:, 0])))
+            hist = jnp.concatenate([xn[:, None], hist[:, :-1]], axis=-1)
+            return (cur, hist, k, rawbits), xn
+
+        def read_signed_scan(b, cur, nbits):
+            v, _ = _read_bits(b, cur, nbits)
+            nb = nbits.astype(jnp.int64)
+            v = v.astype(jnp.int64)
+            sign = (v >> jnp.maximum(nb - 1, 0)) & jnp.where(nb > 0, 1, 0)
+            return v - (sign << nb)
+
+        hist0 = jnp.zeros((B, fmt.MAX_LPC_ORDER), jnp.int64)
+        carry0 = (cursor, hist0, jnp.zeros((B,), jnp.int32),
+                  jnp.full((B,), -1, jnp.int32))
+        (cursor, _, _, _), xs = jax.lax.scan(sample_step, carry0, n_idx)
+        sig = jnp.moveaxis(xs, 0, -1)                   # [B, N] int64
+        sig = sig << wasted[:, None].astype(jnp.int64)
+        outputs.append(sig)
+
+    out = jnp.stack(outputs, axis=1)                    # [B, C, N]
+    return out, cursor
+
+
+def _undo_stereo(sig, assignment):
+    """sig [B, 2, N] int64, assignment [B] -> [B, 2, N]
+    (stream_decoder.c:3476-3526)."""
+    a, b = sig[:, 0], sig[:, 1]
+    asg = assignment[:, None]
+    left = jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a,
+            jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b + a,
+             jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
+                       (((a << 1) | (b & 1)) + b) >> 1, a)))
+    right = jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a - b,
+             jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b,
+              jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
+                        (((a << 1) | (b & 1)) - b) >> 1, b)))
+    return jnp.stack([left, right], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Host: frame table scan
+# ---------------------------------------------------------------------------
+
+def parse_frame_header(data: bytes, pos: int, st: DecodedStream):
+    """Parse one byte-aligned frame header; returns dict or None."""
+    try:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            return None
+        b1 = data[pos + 1]
+        variable = b1 & 1
+        b2 = data[pos + 2]
+        bs_code, sr_code = b2 >> 4, b2 & 0xF
+        b3 = data[pos + 3]
+        ch_code, bps_code = b3 >> 4, (b3 >> 1) & 0x7
+        if bs_code == 0 or sr_code == 15 or ch_code > 10 or (b3 & 1):
+            return None
+        if bps_code == 3 or (bps_code == 0 and st.bits_per_sample == 0):
+            return None
+        number, nb = utf8_decode_int(data, pos + 4)
+        p = pos + 4 + nb
+        if bs_code == 6:
+            blocksize = data[p] + 1; p += 1
+        elif bs_code == 7:
+            blocksize = int.from_bytes(data[p:p + 2], "big") + 1; p += 2
+        else:
+            blocksize = _BLOCKSIZE_TABLE[bs_code]
+        if sr_code == 12:
+            sample_rate = data[p] * 1000; p += 1
+        elif sr_code == 13:
+            sample_rate = int.from_bytes(data[p:p + 2], "big"); p += 2
+        elif sr_code == 14:
+            sample_rate = int.from_bytes(data[p:p + 2], "big") * 10; p += 2
+        elif sr_code == 0:
+            sample_rate = st.sample_rate
+        else:
+            sample_rate = _SAMPLE_RATE_TABLE[sr_code]
+        if _crc8(data[pos:p]) != data[p]:
+            return None
+        channels = ch_code + 1 if ch_code < 8 else 2
+        assignment = (fmt.CHANNEL_ASSIGNMENT_INDEPENDENT if ch_code < 8
+                      else ch_code - 7)
+        bps = st.bits_per_sample if bps_code == 0 else _BPS_TABLE[bps_code]
+        return dict(offset=pos, number=number, blocksize=blocksize,
+                    sample_rate=sample_rate, channels=channels,
+                    assignment=assignment, bps=bps, variable=variable,
+                    header_end_bits=(p + 1) * 8)
+    except (IndexError, KeyError, ValueError):
+        return None
+
+
+def scan_frames(data: bytes, st: DecodedStream, start: int):
+    """Locate all frames via vectorized sync search + header verification.
+
+    Returns list of header dicts with 'size' filled in.  False sync
+    patterns inside frame payloads are rejected by requiring consecutive
+    frame/sample numbers (the fixed-blocksize stream invariant,
+    format.h:403-406).
+    """
+    arr = np.frombuffer(data, np.uint8)
+    cand = np.where((arr[:-1] == 0xFF) & ((arr[1:] & 0xFC) == 0xF8))[0]
+    cand = cand[cand >= start]
+    frames = []
+    expected = 0
+    for pos in cand:
+        if frames and pos < frames[-1]["offset"] + 10:
+            continue  # 10 = minimal possible frame size (header+subframe+crc)
+        hdr = parse_frame_header(data, int(pos), st)
+        if hdr is None:
+            continue
+        want = expected if not hdr["variable"] else None
+        if want is not None and hdr["number"] != want:
+            continue
+        if hdr["variable"]:
+            # variable-blocksize: numbers are sample offsets
+            if frames and hdr["number"] != frames[-1]["number"] + \
+                    frames[-1]["blocksize"]:
+                continue
+        frames.append(hdr)
+        expected += 1
+    for i, f in enumerate(frames):
+        end = frames[i + 1]["offset"] if i + 1 < len(frames) else len(data)
+        f["size"] = end - f["offset"]
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Top-level decode
+# ---------------------------------------------------------------------------
+
+def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
+                      verify_crc: bool = True,
+                      max_batch: int = 512) -> DecodedStream:
+    """Full stream decode with batched device subframe decoding."""
+    if data[:4] != fmt.STREAM_SYNC_STRING:
+        raise FlacDecodeError("missing fLaC marker")
+    st, pos = parse_metadata(data, 4)
+    frames = scan_frames(data, st, pos)
+    st.frames = frames
+    if not frames:
+        st.samples = np.zeros((st.channels, 0), np.int32)
+        return st
+
+    results: list[np.ndarray | None] = [None] * len(frames)
+    # group equal-shape frames for batched decode
+    groups: dict[tuple, list[int]] = {}
+    for i, f in enumerate(frames):
+        groups.setdefault((f["blocksize"], f["channels"]), []).append(i)
+
+    arr = np.frombuffer(data, np.uint8)
+    for (blocksize, channels), idxs in groups.items():
+        for lo in range(0, len(idxs), max_batch):
+            batch = idxs[lo:lo + max_batch]
+            maxlen = max(frames[i]["size"] for i in batch)
+            # pad to a power-of-two word count (crc16_words tree fold)
+            maxlen = 4 << max(0, int(np.ceil(np.log2(max(maxlen, 4) / 4))))
+            B = len(batch)
+            buf = np.zeros((B, maxlen), np.uint8)
+            starts = np.zeros(B, np.int32)
+            asg = np.zeros(B, np.int32)
+            ch_bps = np.zeros((B, channels), np.int32)
+            for j, i in enumerate(batch):
+                f = frames[i]
+                buf[j, :f["size"]] = arr[f["offset"]:f["offset"] + f["size"]]
+                starts[j] = f["header_end_bits"] - f["offset"] * 8
+                asg[j] = f["assignment"]
+                for c in range(channels):
+                    extra = int(
+                        (f["assignment"] == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE
+                         and c == 1) or
+                        (f["assignment"] == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE
+                         and c == 0) or
+                        (f["assignment"] == fmt.CHANNEL_ASSIGNMENT_MID_SIDE
+                         and c == 1))
+                    ch_bps[j, c] = f["bps"] + extra
+            sig, end_bits = decode_frames_device(
+                jnp.asarray(buf), jnp.asarray(starts), jnp.asarray(ch_bps),
+                blocksize, channels, maxlen)
+            if channels == 2:
+                sig = _undo_stereo(sig, jnp.asarray(asg))
+            if verify_crc:
+                lens = jnp.asarray(
+                    np.array([frames[i]["size"] for i in batch], np.int32))
+                words = jnp.asarray(np.ascontiguousarray(buf).view(">u4")
+                                    .astype(np.uint32))
+                # zero out the CRC16 itself? crc over [0, size-2) then
+                # compare with stored big-endian 16 bits
+                stored = np.array(
+                    [int.from_bytes(
+                        data[frames[i]["offset"] + frames[i]["size"] - 2:
+                             frames[i]["offset"] + frames[i]["size"]], "big")
+                     for i in batch], np.uint32)
+                # mask bytes beyond each frame before CRC (padding is zero
+                # already except the stored CRC bytes themselves)
+                bufm = buf.copy()
+                for j, i in enumerate(batch):
+                    bufm[j, frames[i]["size"] - 2:] = 0
+                wordsm = jnp.asarray(np.ascontiguousarray(bufm).view(">u4")
+                                     .astype(np.uint32))
+                got = np.asarray(bitpack.crc16_words(wordsm, lens - 2))
+                bad = np.nonzero(got != stored)[0]
+                if len(bad):
+                    raise FlacDecodeError(
+                        f"frame CRC16 mismatch at frame "
+                        f"{frames[batch[bad[0]]]['number']}")
+            sig_np = np.asarray(sig)
+            for j, i in enumerate(batch):
+                results[i] = sig_np[j].astype(np.int32)
+
+    st.samples = np.concatenate(results, axis=1) if results else \
+        np.zeros((st.channels, 0), np.int32)
+    if st.total_samples:
+        st.samples = st.samples[:, :st.total_samples]
+    if verify_md5 and st.md5 != b"\x00" * 16:
+        from .encoder import interleave_for_md5
+        got = hashlib.md5(interleave_for_md5(
+            st.samples, st.bits_per_sample)).digest()
+        if got != st.md5:
+            raise FlacDecodeError("stream MD5 mismatch")
+    return st
+
+
+def decode_stream_auto(data: bytes, **kw) -> DecodedStream:
+    """Device decode with host fallback for odd inputs."""
+    return decode_stream_tpu(data, **kw)

@@ -295,13 +295,17 @@ def lpc_residual_all_orders(x, qcoeffs, shift, order_index, acc_dtype):
     """
     N = x.shape[-1]
     xacc = x.astype(acc_dtype)
-    # lags[..., j, n] = x[n-1-j] (zeros for n-1-j < 0)
-    lags = jnp.stack(
-        [jnp.pad(xacc[..., :N - 1 - j], [(0, 0)] * (x.ndim - 1)
-                 + [(j + 1, 0)]) for j in range(MAX_LPC_ORDER)], axis=-2)
-    pred = jnp.einsum("...jn,...oj->...on", lags,
-                      qcoeffs.astype(acc_dtype),
-                      preferred_element_type=acc_dtype)
+    max_j = min(MAX_LPC_ORDER, N - 1, qcoeffs.shape[-1])
+    qc = qcoeffs.astype(acc_dtype)
+    # pred[..., o, n] = sum_j q[o, j] * x[n-1-j]; TPU's x64 rewrite has no
+    # s64 dot_general, so accumulate explicitly over the (<=32) lag axis —
+    # XLA fuses this into one elementwise pass per lag.
+    pred = None
+    for j in range(max_j):
+        lag = jnp.pad(xacc[..., :N - 1 - j],
+                      [(0, 0)] * (x.ndim - 1) + [(j + 1, 0)])
+        term = qc[..., :, j][..., None] * lag[..., None, :]
+        pred = term if pred is None else pred + term
     pred = pred >> shift[..., None].astype(acc_dtype)
     res = xacc[..., None, :] - pred
     orders = jnp.asarray(order_index)

@@ -1,0 +1,64 @@
+"""Data-parallel frame sharding over a device mesh.
+
+The reference's only parallelism is a frame-level thread pool with ordered
+writeout (stream_encoder.c:3490-3614).  The TPU-native equivalent
+(SURVEY.md §2.3): frames are independent by format design, so the batch
+axis shards over a 1-D mesh with `jax.sharding`; XLA inserts no
+collectives in the encode path at all (every frame's bytes stay on its
+chip), and the ordered gather is just the host reading back the naturally
+ordered output buffer.  Multi-host runs shard files/frame-ranges per host
+and splice byte ranges — only tiny length metadata crosses DCN.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EncoderConfig
+from ..encoder import encode_batch
+
+
+def data_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name 'frames'."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("frames",))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "blocksize", "mesh"))
+def encode_batch_sharded(pcm, first_frame_number, cfg: EncoderConfig,
+                         blocksize: int, mesh: Mesh):
+    """encode_batch with the batch axis sharded over the mesh.
+
+    pcm: [B, C, N] with B divisible by mesh size.  The whole pipeline is
+    embarrassingly parallel over frames; sharding constraints at the
+    boundary keep XLA from gathering intermediate tensors.
+    """
+    pcm = jax.lax.with_sharding_constraint(
+        pcm, NamedSharding(mesh, P("frames", None, None)))
+    out = encode_batch(pcm, first_frame_number, cfg, blocksize)
+    return jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P(*(("frames",) + (None,) *
+                                       (a.ndim - 1))))), out)
+
+
+def encode_blocks_dp(blocks: np.ndarray, first_frame_number: int,
+                     cfg: EncoderConfig, mesh: Mesh | None = None):
+    """Host helper: pad the batch to the mesh size, encode sharded, return
+    (words [B, W] np.uint32, byte_len [B] np.int32) for the real B."""
+    mesh = mesh or data_mesh()
+    n_dev = mesh.devices.size
+    B = blocks.shape[0]
+    Bp = -(-B // n_dev) * n_dev
+    if Bp != B:
+        pad = np.repeat(blocks[-1:], Bp - B, axis=0)
+        blocks = np.concatenate([blocks, pad], axis=0)
+    out = encode_batch_sharded(jnp.asarray(blocks),
+                               np.int64(first_frame_number), cfg,
+                               blocks.shape[-1], mesh)
+    return (np.asarray(out.words)[:B], np.asarray(out.byte_len)[:B])
