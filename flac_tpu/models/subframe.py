@@ -35,7 +35,7 @@ BIG = rice_ops.BIG
 
 class SubframeChoice(NamedTuple):
     """Realized best subframe per (frame, channel-candidate)."""
-    bits: jnp.ndarray        # [B, CH] int64 total subframe bits
+    bits: jnp.ndarray        # [B, CH] int32 total subframe bits
     type_: jnp.ndarray       # [B, CH] int32 (fmt.SUBFRAME_TYPE_*)
     order: jnp.ndarray       # [B, CH] int32 predictor order (0 for const/verb)
     wasted: jnp.ndarray      # [B, CH] int32
@@ -105,15 +105,15 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     P = 1 << max_po
     # a final short block can be smaller than the configured max order
     O = min(cfg.max_lpc_order, N - 1)
-    overhead = 8 + wasted.astype(jnp.int64)       # subframe header bits
-    bps64 = bps_eff.astype(jnp.int64)
+    overhead = 8 + wasted                         # subframe header bits
+    bps32 = bps_eff
 
     # ---- VERBATIM (always valid) ----
-    verb_bits = overhead + N * bps64
+    verb_bits = overhead + N * bps32
 
     # ---- CONSTANT ----
     is_const = jnp.all(x == x[..., :1], axis=-1)
-    const_bits = jnp.where(is_const, overhead + bps64, BIG)
+    const_bits = jnp.where(is_const, overhead + bps32, BIG)
 
     # ---- FIXED orders 0..4 ----
     # int32 when bps < 28 (|res| <= 17 * 2^(bps-1), the reference's
@@ -134,8 +134,8 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     forder_b = jnp.broadcast_to(forder, fres.shape[:-1]).astype(jnp.int32)
     f_rice, f_ks, f_rice2 = _rice_cost(fu, forder_b, N, max_po, cfg)
     f_rice_best = jnp.min(f_rice, axis=-1)        # [B, CH, 5]
-    fixed_bits = (overhead[..., None] + forder * bps64[..., None]
-                  + f_rice_best)
+    fixed_bits = (overhead[..., None] + forder * bps32[..., None]
+                  + jnp.minimum(f_rice_best, BIG))
     fixed_bits = jnp.where(f_ok & (forder < N), fixed_bits, BIG)
 
     # ---- LPC candidates: apodizations x orders ----
@@ -172,10 +172,10 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
             r_bits, _ks, _r2 = _rice_cost(u_a, ob, N, max_po, cfg)
             best = jnp.min(r_bits, axis=-1)       # [B, CH, O]
             po_a = jnp.argmin(r_bits, axis=-1).astype(jnp.int32)
-            o64 = jnp.asarray(orders, jnp.int64)
+            o32 = jnp.asarray(orders, jnp.int32)
             total = (overhead[..., None] + 4 + 5
-                     + o64 * (prec.astype(jnp.int64) + bps64[..., None])
-                     + best)
+                     + o32 * (prec + bps32[..., None])
+                     + jnp.minimum(best, BIG))
             valid = (ok_a & order_ok[:, :, a] & q_ok[:, :, a]
                      & (best < BIG))
             lpc_bits_list.append(jnp.where(valid, total, BIG))
@@ -183,7 +183,7 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
         lpc_bits = jnp.stack(lpc_bits_list, axis=2)   # [B, CH, A, O]
     else:
         A = 0
-        lpc_bits = jnp.full((B, CH, 0, 0), BIG, jnp.int64)
+        lpc_bits = jnp.full((B, CH, 0, 0), BIG, jnp.int32)
 
     # ---- argmin over all candidates ----
     # candidate vector: [verbatim, constant, fixed0..4, lpc(a*O+o-1)...]
@@ -233,8 +233,11 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
         prec_win = jnp.zeros((B, CH), jnp.int32)
         res_lpc = jnp.zeros((B, CH, N), jnp.int32)
 
-    res_fixed = jnp.take_along_axis(
-        fres, f_order[..., None, None], axis=2)[:, :, 0, :]
+    # masked select instead of take_along_axis (TPU row-gathers serialize)
+    res_fixed = fres[:, :, 0, :]
+    for o in range(1, 5):
+        res_fixed = jnp.where((f_order == o)[..., None], fres[:, :, o, :],
+                              res_fixed)
     residual = jnp.where(is_lpc[..., None], res_lpc,
                          jnp.where(is_fixed[..., None], res_fixed, 0))
     residual = residual.astype(jnp.int32)

@@ -26,7 +26,11 @@ import jax.numpy as jnp
 from ..format import (ENTROPY_CODING_METHOD_PARTITIONED_RICE_PARAMETER_LEN,
                       ENTROPY_CODING_METHOD_PARTITIONED_RICE2_PARAMETER_LEN)
 
-BIG = 1 << 40  # sentinel cost for invalid configurations
+# Sentinel cost for invalid configurations.  All cost math stays int32:
+# int64 reductions/argmins trigger pathological TPU x64-rewrite compiles.
+# 2^28 bits is far above any real frame (max ~2^21); sums of two sentinels
+# still fit int32.
+BIG = 1 << 28
 
 
 def zigzag(residual):
@@ -93,8 +97,8 @@ def _partition_cost_table_i32(u, order, N: int, max_po: int, kmax: int,
         bk = jnp.argmin(cost, axis=-1).astype(jnp.int32)
         total = jnp.sum(best, axis=-1)
         valid = n_eff[..., 0] > 0
-        total64 = jnp.where(valid, total.astype(jnp.int64), BIG)
-        levels_bits.append(total64)
+        total32 = jnp.where(valid, jnp.minimum(total, BIG), BIG)
+        levels_bits.append(total32)
         bk_p = jnp.pad(bk, [(0, 0)] * (bk.ndim - 1) + [(0, P - parts)])
         levels_k.append(bk_p)
         if po > 0:
@@ -160,8 +164,8 @@ def _partition_cost_table_i64(u, order, N: int, max_po: int, kmax: int,
         # partition_samples > predictor_order at the max order via
         # format.c:541-553 and > 0 here, set_partitioned_rice_:5005)
         valid = n_eff[..., 0] > 0
-        total = jnp.where(valid, total, BIG)
-        levels_bits.append(total)
+        total = jnp.where(valid, jnp.minimum(total, BIG), BIG)
+        levels_bits.append(total.astype(jnp.int32))
         # pad best_k to P entries
         pad = P - parts
         bk_p = jnp.pad(bk, [(0, 0)] * (bk.ndim - 1) + [(0, pad)])

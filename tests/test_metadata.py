@@ -1,0 +1,120 @@
+"""Metadata object/chain tests, modeled on the reference's
+test_libFLAC metadata_object/metadata_manip suites."""
+
+import numpy as np
+import pytest
+
+from flac_tpu import EncoderConfig, encode_file_to_flac
+from flac_tpu import metadata as md
+from flac_tpu import format as fmt
+from tests.conftest import make_test_signal
+
+
+def make_flac():
+    pcm = make_test_signal(8192)
+    return encode_file_to_flac(pcm, EncoderConfig.from_preset(5),
+                               batch_frames=2), pcm
+
+
+def test_chain_read_roundtrip():
+    data, pcm = make_flac()
+    chain = md.Chain.read(data)
+    assert chain.streaminfo.sample_rate == 44100
+    assert chain.streaminfo.total_samples == 8192
+    out = chain.write()
+    # unmodified chain serializes to identical bytes
+    assert out == data
+
+
+def test_vorbis_comment_edit_preserves_audio():
+    data, pcm = make_flac()
+    chain = md.Chain.read(data)
+    vc = md.VorbisCommentBlock()
+    vc.set("TITLE", "Test Track")
+    vc.set("ARTIST", "flac_tpu")
+    chain.blocks.insert(1, vc)
+    out = chain.write()
+
+    chain2 = md.Chain.read(out)
+    vc2 = chain2.get(fmt.METADATA_TYPE_VORBIS_COMMENT)
+    assert vc2.get("TITLE") == ["Test Track"]
+    assert vc2.get("ARTIST") == ["flac_tpu"]
+
+    from flac_tpu.ref_decoder import decode_stream
+    st = decode_stream(out)
+    assert np.array_equal(st.samples, pcm)
+
+
+def test_padding_reuse_keeps_size():
+    data, _ = make_flac()
+    chain = md.Chain.read(data)
+    vc = md.VorbisCommentBlock()
+    vc.set("X", "y" * 100)
+    chain.blocks.insert(1, vc)
+    out = chain.write()
+    # fits in existing padding -> same total size
+    assert len(out) == len(data)
+
+
+def test_vorbis_comment_ops():
+    vc = md.VorbisCommentBlock()
+    vc.set("GENRE", "noise")
+    vc.set("genre", "drone", replace_all=True)
+    assert vc.get("GENRE") == ["drone"]
+    vc.set("GENRE", "both", replace_all=False)
+    assert len(vc.get("GENRE")) == 2
+    assert vc.remove("GENRE") == 2
+    assert vc.get("GENRE") == []
+    blob = vc.to_bytes()
+    assert md.VorbisCommentBlock.parse(blob).comments == vc.comments
+
+
+def test_seektable_legal():
+    st = md.SeekTableBlock(points=[
+        md.SeekPoint(0, 0, 4096), md.SeekPoint(44100, 1234, 4096),
+        md.SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)])
+    assert st.is_legal()
+    st_bad = md.SeekTableBlock(points=[
+        md.SeekPoint(100, 0, 0), md.SeekPoint(50, 0, 0)])
+    assert not st_bad.is_legal()
+    assert md.SeekTableBlock.parse(st.to_bytes()).points == st.points
+
+
+def test_picture_roundtrip():
+    pic = md.PictureBlock(picture_type=3, mime_type="image/png",
+                          description="cover", width=2, height=2, depth=24,
+                          data=b"\x89PNG fake")
+    out = md.PictureBlock.parse(pic.to_bytes())
+    assert out == pic
+
+
+def test_cuesheet_roundtrip():
+    cs = md.CueSheetBlock(
+        media_catalog_number=b"1234567890123".ljust(128, b"\x00"),
+        lead_in=88200, is_cd=True,
+        tracks=[md.CueSheetTrack(
+            offset=0, number=1, isrc=b"ABCDE1234567", is_audio=True,
+            indices=[md.CueSheetTrackIndex(0, 1)]),
+            md.CueSheetTrack(offset=44100 * 60, number=170)])
+    out = md.CueSheetBlock.parse(cs.to_bytes())
+    assert out == cs
+
+
+def test_metaflac_cli(tmp_path):
+    data, _ = make_flac()
+    f = tmp_path / "x.flac"
+    f.write_bytes(data)
+    from flac_tpu.metaflac_cli import main
+    assert main(["--set-tag=TITLE=hello", str(f)]) == 0
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--show-tag=TITLE", str(f)]) == 0
+    assert buf.getvalue().strip() == "TITLE=hello"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["--show-sample-rate", str(f)]) == 0
+    assert buf.getvalue().strip() == "44100"
+    # audio survives the in-place edit
+    from flac_tpu.ref_decoder import decode_stream
+    decode_stream(f.read_bytes())
