@@ -41,6 +41,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-A", "--apodization", action="append")
     p.add_argument("-q", "--qlp-coeff-precision", type=int)
     p.add_argument("-P", "--padding", type=int, default=4096)
+    p.add_argument("-S", "--seekpoint", action="append", default=[],
+                   help="seektable spec: {#|X|#x|#s} (main.c -S)")
+    p.add_argument("--no-seektable", action="store_true",
+                   help="do not write a SEEKTABLE (default is -S 10s)")
+    p.add_argument("-T", "--tag", action="append", default=[],
+                   metavar="FIELD=VALUE",
+                   help="add a VORBIS_COMMENT tag while encoding")
+    p.add_argument("--skip",
+                   help="skip samples at start: '#' or 'mm:ss.ss'")
+    p.add_argument("--until",
+                   help="stop at sample: '#', '+#', '-#' or '[+|-]mm:ss.ss'")
     p.add_argument("--lax", action="store_true",
                    help="allow non-subset encodings")
     p.add_argument("--batch-frames", type=int, default=64,
@@ -89,6 +100,78 @@ def make_config(args, info):
     return dataclasses.replace(cfg, **over).resolve()
 
 
+def parse_time_spec(spec: str, sample_rate: int) -> tuple[int, int]:
+    """'#' (samples) or '[mm:]ss.sss' (time) -> (samples, sign).
+
+    Leading +/- marks a relative spec (reference --skip/--until grammar,
+    src/flac/main.c utils.c:local__parse_timecode)."""
+    sign = 0
+    if spec and spec[0] in "+-":
+        sign = 1 if spec[0] == "+" else -1
+        spec = spec[1:]
+    if ":" in spec or "." in spec:
+        parts = spec.split(":")
+        secs = float(parts[-1])
+        if len(parts) == 2:
+            secs += 60 * int(parts[0])
+        n = int(round(secs * sample_rate))
+    else:
+        n = int(spec)
+    return n, sign
+
+
+def resolve_skip_until(args, sample_rate: int, total: int) -> tuple[int, int]:
+    """Returns (start_sample, end_sample) within [0, total]."""
+    start = 0
+    if args.skip:
+        start, _ = parse_time_spec(args.skip, sample_rate)
+    end = total
+    if args.until:
+        n, sign = parse_time_spec(args.until, sample_rate)
+        if sign > 0:
+            end = start + n
+        elif sign < 0:
+            end = total - n
+        else:
+            end = n
+    if not (0 <= start <= end <= total):
+        raise SystemExit(f"--skip/--until out of range (stream has {total} "
+                         "samples)")
+    return start, end
+
+
+def make_seektable(args, sample_rate: int, total_samples: int):
+    """-S spec list -> SeekTableBlock template (grabbag/seektable.c)."""
+    from . import metadata as md
+    if args.no_seektable:
+        return None
+    specs = args.seekpoint or ["10s"]
+    points = []
+    for spec in specs:
+        for one in spec.split(";"):
+            one = one.strip()
+            if not one:
+                continue
+            try:
+                if one == "X":
+                    points.append(md.SeekPoint(0xFFFFFFFFFFFFFFFF, 0, 0))
+                elif one.endswith("x"):
+                    points.extend(md.SeekTableBlock.template_count(
+                        int(one[:-1]), total_samples).points)
+                elif one.endswith("s"):
+                    points.extend(md.SeekTableBlock.template_spaced(
+                        total_samples, sample_rate, float(one[:-1])).points)
+                else:
+                    points.append(md.SeekPoint(int(one), 0, 0))
+            except ValueError:
+                raise SystemExit(
+                    f"bad -S seekpoint spec: {one!r} (want #, X, #x or #s)")
+    tbl = md.SeekTableBlock(points=points)
+    if not points:
+        return None
+    return tbl
+
+
 def _read_input(path: str, args):
     from . import container
     data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
@@ -106,22 +189,39 @@ def do_encode(args, path: str) -> int:
     from .encoder import StreamEncoder
     info = _read_input(path, args)
     cfg = make_config(args, info)
+    samples = info.samples
+    if args.skip or args.until:
+        start, end = resolve_skip_until(args, info.sample_rate,
+                                        samples.shape[1])
+        samples = samples[:, start:end]
     out_name = args.output_name or (
         path.rsplit(".", 1)[0] + ".flac" if path != "-" else "-")
     t0 = time.time()
     out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
+    extra = []
+    if args.tag:
+        from . import metadata as md
+        vc = md.VorbisCommentBlock()
+        for t in args.tag:
+            if "=" not in t:
+                raise SystemExit(f"bad tag (need FIELD=VALUE): {t}")
+            vc.comments.append(t)
+        extra.append((vc.TYPE, vc.to_bytes()))
+    seektable = make_seektable(args, info.sample_rate, samples.shape[1]) \
+        if out is not sys.stdout.buffer else None
     enc = StreamEncoder(out, cfg, batch_frames=args.batch_frames,
-                        padding=args.padding)
-    enc.process(info.samples)
+                        padding=args.padding, extra_metadata=extra,
+                        seektable=seektable)
+    enc.process(samples)
     st = enc.finish()
     if out is not sys.stdout.buffer:
         size = out.tell()
         out.close()
         dt = time.time() - t0
-        raw = info.samples.size * ((info.bits_per_sample + 7) // 8)
+        raw = samples.size * ((info.bits_per_sample + 7) // 8)
         if not args.silent:
             print(f"{path}: wrote {out_name} ratio={size/raw:.3f} "
-                  f"({info.samples.shape[1]/info.sample_rate/dt:.1f}x "
+                  f"({samples.shape[1]/info.sample_rate/dt:.1f}x "
                   f"realtime)", file=sys.stderr)
     return 0
 
@@ -131,7 +231,20 @@ def do_decode(args, path: str) -> int:
     from .decoder import decode_stream_auto
     data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
     t0 = time.time()
-    st = decode_stream_auto(data)
+    if args.skip or args.until:
+        # ranged decode through the seek path — only covering frames
+        # are decoded (FLAC__stream_decoder_seek_absolute analogue)
+        from .seek import FlacReader
+        rd = FlacReader(data)
+        start, end = resolve_skip_until(args, rd.st.sample_rate,
+                                        rd.total_samples)
+        if start:
+            rd.seek_absolute(start)
+        pcm = rd.read_range(start, end - start)
+        st = rd.st
+        st.samples = pcm
+    else:
+        st = decode_stream_auto(data)
     dt = time.time() - t0
     if args.test:
         if not args.silent:

@@ -371,19 +371,16 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
 # Top-level decode
 # ---------------------------------------------------------------------------
 
-def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
-                      verify_crc: bool = True,
-                      max_batch: int = 512) -> DecodedStream:
-    """Full stream decode with batched device subframe decoding."""
-    if data[:4] != fmt.STREAM_SYNC_STRING:
-        raise FlacDecodeError("missing fLaC marker")
-    st, pos = parse_metadata(data, 4)
-    frames = scan_frames(data, st, pos)
-    st.frames = frames
-    if not frames:
-        st.samples = np.zeros((st.channels, 0), np.int32)
-        return st
+def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
+                      *, verify_crc: bool = True,
+                      max_batch: int = 512) -> list[np.ndarray]:
+    """Batched device decode of an explicit frame-header list.
 
+    Each entry needs offset/size/assignment/bps/channels/blocksize (as
+    produced by scan_frames).  Returns per-frame [C, N] int32 arrays in
+    list order.  Frames are grouped by shape so each distinct
+    (blocksize, channels) compiles once.
+    """
     results: list[np.ndarray | None] = [None] * len(frames)
     # group equal-shape frames for batched decode
     groups: dict[tuple, list[int]] = {}
@@ -449,7 +446,30 @@ def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
             sig_np = np.asarray(sig)
             for j, i in enumerate(batch):
                 results[i] = sig_np[j].astype(np.int32)
+    return results
 
+
+def decode_frames_selected(data: bytes, st: DecodedStream,
+                           frames: list) -> np.ndarray:
+    """Decode a contiguous frame run and concatenate (seek read path)."""
+    return np.concatenate(decode_frame_list(data, st, frames), axis=1)
+
+
+def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
+                      verify_crc: bool = True,
+                      max_batch: int = 512) -> DecodedStream:
+    """Full stream decode with batched device subframe decoding."""
+    if data[:4] != fmt.STREAM_SYNC_STRING:
+        raise FlacDecodeError("missing fLaC marker")
+    st, pos = parse_metadata(data, 4)
+    frames = scan_frames(data, st, pos)
+    st.frames = frames
+    if not frames:
+        st.samples = np.zeros((st.channels, 0), np.int32)
+        return st
+
+    results = decode_frame_list(data, st, frames, verify_crc=verify_crc,
+                                max_batch=max_batch)
     st.samples = np.concatenate(results, axis=1) if results else \
         np.zeros((st.channels, 0), np.int32)
     if st.total_samples:

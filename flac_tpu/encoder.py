@@ -18,6 +18,7 @@ STREAMINFO block is back-patched at finish exactly like update_metadata_
 
 from __future__ import annotations
 
+import bisect
 import functools
 import hashlib
 import io
@@ -121,7 +122,8 @@ class StreamEncoder:
     assembles the byte stream, back-patches STREAMINFO at finish."""
 
     def __init__(self, out, cfg: EncoderConfig, *, batch_frames: int = 64,
-                 padding: int = 4096, extra_metadata: list | None = None):
+                 padding: int = 4096, extra_metadata: list | None = None,
+                 seektable=None):
         self.out = out
         self.cfg = cfg.resolve()
         self.batch_frames = batch_frames
@@ -131,16 +133,29 @@ class StreamEncoder:
         self._md5 = hashlib.md5()
         self._info = StreamInfo(self.cfg)
         self._header_pos = None
+        self._seektable = seektable       # SeekTableBlock template or None
+        self._seektable_pos = None        # file offset of its body
+        self._frame_index = []            # (first_sample, offset, blocksize)
+        self._first_frame_offset = None
         self._write_stream_header(padding, extra_metadata or [])
 
     def _write_stream_header(self, padding: int, extra: list):
         self.out.write(fmt.STREAM_SYNC_STRING)
         self._header_pos = self.out.tell()
         si = self._info.to_bytes()
-        is_last = padding <= 0 and not extra
+        is_last = padding <= 0 and not extra and self._seektable is None
         self.out.write(metadata_block_header(
             fmt.METADATA_TYPE_STREAMINFO, len(si), is_last))
         self.out.write(si)
+        if self._seektable is not None:
+            # reserve the full table now; patched at finish like the
+            # reference's update_metadata_ (stream_encoder.c:3139-3300)
+            body = self._seektable.to_bytes()
+            last = padding <= 0 and not extra
+            self.out.write(metadata_block_header(
+                fmt.METADATA_TYPE_SEEKTABLE, len(body), last))
+            self._seektable_pos = self.out.tell()
+            self.out.write(body)
         for i, blk in enumerate(extra):
             last = (padding <= 0) and i == len(extra) - 1
             self.out.write(metadata_block_header(blk[0], len(blk[1]), last))
@@ -149,6 +164,7 @@ class StreamEncoder:
             self.out.write(metadata_block_header(
                 fmt.METADATA_TYPE_PADDING, padding, True))
             self.out.write(b"\x00" * padding)
+        self._first_frame_offset = self.out.tell()
 
     def process(self, pcm: np.ndarray):
         """pcm: [C, n] int32 interleaved-by-channel samples."""
@@ -192,10 +208,36 @@ class StreamEncoder:
         wbytes = np.frombuffer(data, np.uint8).reshape(words.shape[0], -1)
         for i in range(words.shape[0]):
             L = int(lens[i])
+            if self._seektable is not None:
+                self._frame_index.append(
+                    ((self._frame_number + i) * self.blocksize,
+                     self.out.tell() - self._first_frame_offset, N))
             self.out.write(wbytes[i, :L].tobytes())
             self._info.min_framesize = min(self._info.min_framesize, L)
             self._info.max_framesize = max(self._info.max_framesize, L)
         self._frame_number += words.shape[0]
+
+    def _resolve_seektable(self):
+        """Fill template points with real frame positions (the encoder-side
+        seekpoint resolution of write_frame_/update_metadata_)."""
+        from .metadata import SeekPoint
+        resolved, seen = [], set()
+        fidx = self._frame_index
+        starts = [f[0] for f in fidx]
+        for p in self._seektable.points:
+            if p.sample_number == fmt.SEEKPOINT_PLACEHOLDER or not fidx:
+                continue
+            i = bisect.bisect_right(starts, min(p.sample_number,
+                                                self._info.total_samples - 1))
+            i = max(0, i - 1)
+            fs, off, bs = fidx[i]
+            if fs not in seen:
+                seen.add(fs)
+                resolved.append(SeekPoint(fs, off, bs))
+        resolved.sort(key=lambda p: p.sample_number)
+        pad = len(self._seektable.points) - len(resolved)
+        resolved += [SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)] * pad
+        self._seektable.points = resolved
 
     def finish(self):
         self._drain(final=True)
@@ -204,6 +246,10 @@ class StreamEncoder:
             pos = self.out.tell()
             self.out.seek(self._header_pos + 4)
             self.out.write(self._info.to_bytes())
+            if self._seektable is not None:
+                self._resolve_seektable()
+                self.out.seek(self._seektable_pos)
+                self.out.write(self._seektable.to_bytes())
             self.out.seek(pos)
         return self._info
 

@@ -135,16 +135,24 @@ class SeekTableBlock:
     @classmethod
     def template_spaced(cls, total_samples: int, sample_rate: int,
                         seconds: float) -> "SeekTableBlock":
-        """grabbag/seektable.c '-S Ns' template: placeholder every N s."""
-        n = max(1, int(total_samples / (sample_rate * seconds)) + 1) \
-            if total_samples else 1
-        return cls(points=[SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)
-                           for _ in range(n)])
+        """'-S Ns' template (grabbag/seektable.c spaced points): target
+        sample numbers every N seconds, resolved to real frame offsets by
+        the encoder at finish."""
+        spacing = max(1, int(seconds * sample_rate))
+        if not total_samples:
+            return cls(points=[SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)])
+        targets = range(0, total_samples, spacing)
+        return cls(points=[SeekPoint(t, 0, 0) for t in targets])
 
     @classmethod
-    def template_count(cls, count: int) -> "SeekTableBlock":
-        return cls(points=[SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)
-                           for _ in range(count)])
+    def template_count(cls, count: int,
+                       total_samples: int = 0) -> "SeekTableBlock":
+        """'-S #x' template: `count` evenly spaced target points."""
+        if not total_samples:
+            return cls(points=[SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)
+                               for _ in range(count)])
+        return cls(points=[SeekPoint(total_samples * i // count, 0, 0)
+                           for i in range(count)])
 
 
 @dataclass

@@ -199,7 +199,8 @@ def process_file(args, path: str) -> int:
             st = md.SeekTableBlock()
             chain.blocks.insert(1, st)
         if spec.endswith("x"):
-            tmpl = md.SeekTableBlock.template_count(int(spec[:-1]))
+            tmpl = md.SeekTableBlock.template_count(int(spec[:-1]),
+                                                    si.total_samples)
         elif spec.endswith("s"):
             tmpl = md.SeekTableBlock.template_spaced(
                 si.total_samples, si.sample_rate, float(spec[:-1]))
