@@ -54,18 +54,25 @@ def _read_bits(buf, cursor, nbits):
     nbits:  [B] int32
     Returns (value [B] uint32, new_cursor).
     """
+    val, cur = _read_bits_wide(buf, cursor, nbits)
+    return val.astype(jnp.uint32), cur
+
+
+def _read_bits_wide(buf, cursor, nbits):
+    """Like _read_bits but up to 33 bits (33-bit side-channel warmup/
+    constant/verbatim fields, stream_decoder.c:3250-3293); returns int64."""
     byte0 = (cursor >> 3).astype(jnp.int32)
     bitoff = (cursor & 7).astype(jnp.int64)
     M = buf.shape[-1]
     win = jnp.zeros(cursor.shape, jnp.int64)
-    for i in range(5):
+    for i in range(6):
         b = jnp.take_along_axis(
             buf, jnp.clip(byte0 + i, 0, M - 1)[..., None], axis=-1)[..., 0]
         win = (win << 8) | b.astype(jnp.int64)
     nb = nbits.astype(jnp.int64)
-    sh = 40 - bitoff - nb
+    sh = 48 - bitoff - nb
     val = (win >> sh) & ((jnp.int64(1) << nb) - 1)
-    return val.astype(jnp.uint32), cursor + nbits
+    return val, cursor + nbits
 
 
 def _read_unary(buf, cursor):
@@ -153,9 +160,8 @@ def decode_frames_device(buf, start_bits, ch_bps, blocksize: int,
 
         def read_signed(nbits):
             nonlocal cursor
-            v, cursor = _read_bits(buf, cursor, nbits)
+            v, cursor = _read_bits_wide(buf, cursor, nbits)
             nb = nbits.astype(jnp.int64)
-            v = v.astype(jnp.int64)
             sign = (v >> jnp.maximum(nb - 1, 0)) & jnp.where(nb > 0, 1, 0)
             return v - (sign << nb)
 
@@ -247,9 +253,8 @@ def decode_frames_device(buf, start_bits, ch_bps, blocksize: int,
             return (cur, hist, k, rawbits), xn
 
         def read_signed_scan(b, cur, nbits):
-            v, _ = _read_bits(b, cur, nbits)
+            v, _ = _read_bits_wide(b, cur, nbits)
             nb = nbits.astype(jnp.int64)
-            v = v.astype(jnp.int64)
             sign = (v >> jnp.maximum(nb - 1, 0)) & jnp.where(nb > 0, 1, 0)
             return v - (sign << nb)
 

@@ -221,6 +221,13 @@ def levinson_all_orders(autoc, max_order: int):
 # Coefficient quantization (error-feedback rounding)
 # ---------------------------------------------------------------------------
 
+def _pow2(e):
+    """Exact 2.0**e for integer e. jnp.exp2 can be an ulp off (observed on
+    XLA CPU), which breaks exact arithmetic-shift semantics in the f64
+    residual/quantizer paths; ldexp is exact by construction."""
+    return jnp.ldexp(jnp.float64(1.0), e.astype(jnp.int32))
+
+
 def quantize_coefficients(coeffs, order_index, precision):
     """Quantize float predictor coefficients per lpc.c:220-314.
 
@@ -246,15 +253,15 @@ def quantize_coefficients(coeffs, order_index, precision):
     # log2 and repair the boundary cases exactly with exp2 comparisons.
     safe = jnp.where(valid, cmax, 1.0)
     e0 = jnp.floor(jnp.log2(safe)).astype(jnp.int32)
-    e0 = jnp.where(jnp.exp2(e0.astype(jnp.float64)) > safe, e0 - 1, e0)
+    e0 = jnp.where(_pow2(e0) > safe, e0 - 1, e0)
     log2cmax = jnp.where(
-        jnp.exp2((e0 + 1).astype(jnp.float64)) <= safe, e0 + 1, e0)
+        _pow2(e0 + 1) <= safe, e0 + 1, e0)
     shift = (prec - 1).astype(jnp.int32) - log2cmax - 1
     shift = jnp.minimum(shift, MAX_SHIFT)
     valid = valid & (shift >= MIN_SHIFT)
     # negative shift: scale coefficients down and emit shift 0
     # (lpc.c:283-311); both branches reduce to multiplying by 2^shift
-    scale = jnp.exp2(shift.astype(jnp.float64))
+    scale = _pow2(shift)
     out_shift = jnp.maximum(shift, 0)
 
     qmax = (1 << (prec - 1)) - 1           # [O]
@@ -328,8 +335,7 @@ def lpc_residual_all_orders(x, qcoeffs, shift, order_index, mode: str):
     elif mode == "f64":
         pred = accumulate(x.astype(jnp.float64),
                           qcoeffs.astype(jnp.float64))
-        pred = jnp.floor(pred * jnp.exp2(-shift[..., None]
-                                         .astype(jnp.float64)))
+        pred = jnp.floor(pred * _pow2(-shift[..., None]))
         res = x.astype(jnp.float64)[..., None, :] - pred
         valid = jnp.max(jnp.abs(res), axis=-1) < jnp.float64(2 ** 31)
         res = jnp.where(mask, res, 0)
