@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip samples at start: '#' or 'mm:ss.ss'")
     p.add_argument("--until",
                    help="stop at sample: '#', '+#', '-#' or '[+|-]mm:ss.ss'")
+    p.add_argument("--ogg", action="store_true",
+                   help="use Ogg as transport layer (Ogg FLAC)")
+    p.add_argument("--serial-number", type=int, default=0x464C4143,
+                   help="(--ogg) serial number of the Ogg stream")
     p.add_argument("--lax", action="store_true",
                    help="allow non-subset encodings")
     p.add_argument("--batch-frames", type=int, default=64,
@@ -195,9 +199,14 @@ def do_encode(args, path: str) -> int:
                                         samples.shape[1])
         samples = samples[:, start:end]
     out_name = args.output_name or (
-        path.rsplit(".", 1)[0] + ".flac" if path != "-" else "-")
+        path.rsplit(".", 1)[0] + (".oga" if args.ogg else ".flac")
+        if path != "-" else "-")
     t0 = time.time()
-    out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
+    if args.ogg:
+        import io
+        out = io.BytesIO()
+    else:
+        out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
     extra = []
     if args.tag:
         from . import metadata as md
@@ -214,6 +223,13 @@ def do_encode(args, path: str) -> int:
                         seektable=seektable)
     enc.process(samples)
     st = enc.finish()
+    if args.ogg:
+        from . import ogg
+        sink = (sys.stdout.buffer if out_name == "-"
+                else open(out_name, "wb"))
+        ogg.wrap_flac_stream(out.getvalue(), sink,
+                             serial=args.serial_number)
+        out = sink
     if out is not sys.stdout.buffer:
         size = out.tell()
         out.close()
@@ -231,7 +247,14 @@ def do_decode(args, path: str) -> int:
     from .decoder import decode_stream_auto
     data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
     t0 = time.time()
-    if args.skip or args.until:
+    from . import ogg
+    if ogg.is_ogg(data):
+        st = ogg.decode_ogg_flac(data)
+        if args.skip or args.until:
+            start, end = resolve_skip_until(args, st.sample_rate,
+                                            st.samples.shape[1])
+            st.samples = st.samples[:, start:end]
+    elif args.skip or args.until:
         # ranged decode through the seek path — only covering frames
         # are decoded (FLAC__stream_decoder_seek_absolute analogue)
         from .seek import FlacReader

@@ -343,8 +343,17 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
     Returns list of header dicts with 'size' filled in.  False sync
     patterns inside frame payloads are rejected by requiring consecutive
     frame/sample numbers (the fixed-blocksize stream invariant,
-    format.h:403-406).
+    format.h:403-406).  Uses the native C++ scanner when available
+    (flac_tpu/native), falling back to the Python implementation.
     """
+    from . import native
+    if native.AVAILABLE:
+        frames = native.scan_frames(data, start, st.bits_per_sample,
+                                    st.sample_rate)
+        for i, f in enumerate(frames):
+            end = frames[i + 1]["offset"] if i + 1 < len(frames) else len(data)
+            f["size"] = end - f["offset"]
+        return frames
     arr = np.frombuffer(data, np.uint8)
     cand = np.where((arr[:-1] == 0xFF) & ((arr[1:] & 0xFC) == 0xF8))[0]
     cand = cand[cand >= start]

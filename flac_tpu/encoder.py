@@ -130,7 +130,9 @@ class StreamEncoder:
         self.blocksize = self.cfg.blocksize
         self._buf = np.zeros((self.cfg.channels, 0), np.int32)
         self._frame_number = 0
-        self._md5 = hashlib.md5()
+        from . import native
+        self._native = native if native.AVAILABLE else None
+        self._md5 = native.MD5() if self._native else hashlib.md5()
         self._info = StreamInfo(self.cfg)
         self._header_pos = None
         self._seektable = seektable       # SeekTableBlock template or None
@@ -169,7 +171,12 @@ class StreamEncoder:
     def process(self, pcm: np.ndarray):
         """pcm: [C, n] int32 interleaved-by-channel samples."""
         assert pcm.shape[0] == self.cfg.channels
-        self._md5.update(interleave_for_md5(pcm, self.cfg.bits_per_sample))
+        if self._native:
+            # fused interleave+hash, no intermediate buffer (native C++)
+            self._md5.update_pcm(pcm, self.cfg.bits_per_sample)
+        else:
+            self._md5.update(
+                interleave_for_md5(pcm, self.cfg.bits_per_sample))
         self._info.total_samples += pcm.shape[1]
         self._buf = np.concatenate([self._buf, pcm.astype(np.int32)], axis=1)
         self._drain(final=False)
@@ -203,18 +210,25 @@ class StreamEncoder:
         packed = encode_batch(jnp.asarray(blocks),
                               np.int64(self._frame_number), self.cfg, N)
         words = np.asarray(packed.words)
-        lens = np.asarray(packed.byte_len)
-        data = words.astype(">u4").tobytes()
-        wbytes = np.frombuffer(data, np.uint8).reshape(words.shape[0], -1)
-        for i in range(words.shape[0]):
-            L = int(lens[i])
-            if self._seektable is not None:
+        lens = np.asarray(packed.byte_len).astype(np.int64)
+        wbytes = words.astype(">u4").view(np.uint8).reshape(
+            words.shape[0], -1)
+        if self._seektable is not None:
+            base = self.out.tell() - self._first_frame_offset
+            offs = base + np.concatenate([[0], np.cumsum(lens[:-1])])
+            for i in range(words.shape[0]):
                 self._frame_index.append(
                     ((self._frame_number + i) * self.blocksize,
-                     self.out.tell() - self._first_frame_offset, N))
-            self.out.write(wbytes[i, :L].tobytes())
-            self._info.min_framesize = min(self._info.min_framesize, L)
-            self._info.max_framesize = max(self._info.max_framesize, L)
+                     int(offs[i]), N))
+        if self._native:
+            self.out.write(self._native.gather_frames(wbytes, lens))
+        else:
+            for i in range(words.shape[0]):
+                self.out.write(wbytes[i, :int(lens[i])].tobytes())
+        self._info.min_framesize = min(self._info.min_framesize,
+                                       int(lens.min()))
+        self._info.max_framesize = max(self._info.max_framesize,
+                                       int(lens.max()))
         self._frame_number += words.shape[0]
 
     def _resolve_seektable(self):

@@ -1,0 +1,162 @@
+"""Native (C++) host runtime, bound via ctypes.
+
+The TPU does the DSP; this module is the native implementation of the
+host-side runtime around it — MD5 accumulate with fused channel
+interleave (md5.c:388-520), the decoder's frame-sync scan
+(stream_decoder.c:2321,2624), CRC-8/16 (crc.c), and the encoder's ordered
+frame gather (stream_encoder.c:3614-3626).
+
+The library is compiled once with g++ at first import and cached next to
+this file; every entry point has a pure-Python fallback elsewhere in the
+package, so `AVAILABLE` gates usage rather than hard-failing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "flac_native.cpp")
+_SO = os.path.join(_DIR, "_flac_native.so")
+
+_lib = None
+
+
+def _build() -> str | None:
+    if (os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        return _SO
+    try:
+        with tempfile.NamedTemporaryFile(
+                suffix=".so", dir=_DIR, delete=False) as tf:
+            tmp = tf.name
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             "-o", tmp, _SRC],
+            check=True, capture_output=True)
+        os.replace(tmp, _SO)
+        return _SO
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        return None
+
+
+def _load():
+    global _lib
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ft_crc8.restype = ctypes.c_uint8
+    lib.ft_crc8.argtypes = [u8p, ctypes.c_int64]
+    lib.ft_crc16.restype = ctypes.c_uint16
+    lib.ft_crc16.argtypes = [u8p, ctypes.c_int64, ctypes.c_uint16]
+    lib.ft_md5_ctx_size.restype = ctypes.c_int32
+    lib.ft_md5_init.argtypes = [ctypes.c_void_p]
+    lib.ft_md5_update.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
+    lib.ft_md5_update_pcm.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32]
+    lib.ft_md5_final.argtypes = [ctypes.c_void_p, u8p]
+    lib.ft_scan_frames.restype = ctypes.c_int64
+    lib.ft_scan_frames.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int64,
+        i64p, ctypes.c_int64]
+    lib.ft_gather_frames.restype = ctypes.c_int64
+    lib.ft_gather_frames.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p]
+    _lib = lib
+    return lib
+
+
+try:
+    _load()
+except Exception:
+    _lib = None
+
+AVAILABLE = _lib is not None
+
+
+def _u8(buf) -> ctypes.POINTER(ctypes.c_uint8):
+    return ctypes.cast(
+        (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+        if isinstance(buf, (bytes, bytearray)) else
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint8))
+
+
+def crc8(data: bytes) -> int:
+    return _lib.ft_crc8(_u8(data), len(data))
+
+
+def crc16(data: bytes, init: int = 0) -> int:
+    return _lib.ft_crc16(_u8(data), len(data), init)
+
+
+class MD5:
+    """Streaming MD5 with a fused FLAC PCM interleave path."""
+
+    def __init__(self):
+        self._ctx = ctypes.create_string_buffer(_lib.ft_md5_ctx_size())
+        _lib.ft_md5_init(self._ctx)
+
+    def update(self, data: bytes) -> None:
+        _lib.ft_md5_update(self._ctx, _u8(data), len(data))
+
+    def update_pcm(self, pcm: np.ndarray, bps: int) -> None:
+        """pcm: [C, N] int32 C-contiguous; hashes the FLAC MD5 byte stream
+        (sample-major, little-endian, (bps+7)//8 bytes per sample)."""
+        pcm = np.ascontiguousarray(pcm, np.int32)
+        C, N = pcm.shape
+        _lib.ft_md5_update_pcm(
+            self._ctx, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            C, N, (bps + 7) // 8)
+
+    def digest(self) -> bytes:
+        # finalize a copy so the accumulator can keep going
+        ctx = ctypes.create_string_buffer(self._ctx.raw, len(self._ctx))
+        out = (ctypes.c_uint8 * 16)()
+        _lib.ft_md5_final(ctx, out)
+        return bytes(out)
+
+
+_SCAN_FIELDS = ("offset", "number", "blocksize", "sample_rate", "channels",
+                "assignment", "bps", "variable", "header_bits")
+
+
+def scan_frames(data: bytes, start: int, stream_bps: int,
+                stream_rate: int) -> list[dict]:
+    """Native frame-sync scan; returns header dicts compatible with
+    decoder.scan_frames (size/header_end_bits filled by the caller)."""
+    arr = np.frombuffer(data, np.uint8)
+    max_frames = max(16, len(data) // 10)
+    out = np.empty((max_frames, 9), np.int64)
+    n = _lib.ft_scan_frames(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        start, stream_bps, stream_rate,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_frames)
+    frames = []
+    for row in out[:n]:
+        d = dict(zip(_SCAN_FIELDS, (int(v) for v in row)))
+        d["header_end_bits"] = d["offset"] * 8 + d.pop("header_bits")
+        frames.append(d)
+    return frames
+
+
+def gather_frames(rows: np.ndarray, lens: np.ndarray) -> bytes:
+    """Concatenate the first lens[i] bytes of each row (ordered gather)."""
+    rows = np.ascontiguousarray(rows, np.uint8)
+    lens64 = np.ascontiguousarray(lens, np.int64)
+    out = np.empty(int(lens64.sum()), np.uint8)
+    _lib.ft_gather_frames(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows.shape[0], rows.shape[1],
+        lens64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.tobytes()

@@ -1,0 +1,322 @@
+"""Ogg FLAC container: page-level mux/demux of native FLAC streams.
+
+Host-side counterpart of the reference's Ogg aspects
+(src/libFLAC/ogg_encoder_aspect.c:113-230 packetize/paginate,
+ogg_decoder_aspect.c:96-165,603-640 demux + chained-stream links,
+ogg_mapping.c constants).  The TPU does the frame codec; this module only
+rearranges bytes, so it is pure host Python/numpy.
+
+FLAC-in-Ogg mapping (https://xiph.org/flac/ogg_mapping.html):
+  packet 0 (its own BOS page): 0x7F 'FLAC' major minor nheaders(2,BE)
+      'fLaC' + STREAMINFO block (with header)
+  packets 1..n: remaining metadata blocks, one per packet
+  then one FLAC frame per packet; page granulepos = number of the last
+  sample contained in the last packet completed on that page.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import format as fmt
+
+MAPPING_VERSION = (1, 0)
+_MAGIC = b"OggS"
+
+# Ogg CRC-32: poly 0x04c11db7, init 0, not reflected, no final xor
+_CRC_TABLE = np.zeros(256, np.uint32)
+for _i in range(256):
+    _c = _i << 24
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x04C11DB7 if _c & 0x80000000 else _c << 1) \
+            & 0xFFFFFFFF
+    _CRC_TABLE[_i] = _c
+
+
+def crc32_ogg(data: bytes) -> int:
+    crc = 0
+    tab = _CRC_TABLE
+    for b in data:
+        crc = ((crc << 8) ^ int(tab[((crc >> 24) ^ b) & 0xFF])) & 0xFFFFFFFF
+    return crc
+
+
+class OggError(ValueError):
+    pass
+
+
+@dataclass
+class OggPage:
+    header_type: int
+    granulepos: int
+    serial: int
+    sequence: int
+    segments: list  # list[bytes] lacing-value chunks
+    continued_out: bool = False
+
+    def to_bytes(self) -> bytes:
+        lacing = b"".join(bytes([len(s)]) for s in self.segments)
+        body = b"".join(self.segments)
+        hdr = bytearray()
+        hdr += _MAGIC
+        hdr.append(0)                       # version
+        hdr.append(self.header_type)
+        hdr += (self.granulepos & (1 << 64) - 1).to_bytes(8, "little")
+        hdr += self.serial.to_bytes(4, "little")
+        hdr += self.sequence.to_bytes(4, "little")
+        hdr += b"\x00\x00\x00\x00"          # crc placeholder
+        hdr.append(len(self.segments))
+        page = bytes(hdr) + lacing + body
+        crc = crc32_ogg(page)
+        return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+class PageWriter:
+    """Packet -> page assembler (ogg_encoder_aspect.c write path)."""
+
+    def __init__(self, out, serial: int):
+        self.out = out
+        self.serial = serial & 0xFFFFFFFF
+        self.sequence = 0
+        self._segments: list[bytes] = []
+        self._continued = False
+        self._bos_pending = True
+        self._granulepos = 0
+
+    def _flush_page(self, granulepos: int, *, eos: bool = False,
+                    next_continued: bool = False):
+        htype = ((0x01 if self._continued else 0)
+                 | (0x02 if self._bos_pending else 0)
+                 | (0x04 if eos else 0))
+        page = OggPage(htype, granulepos, self.serial, self.sequence,
+                       self._segments)
+        self.out.write(page.to_bytes())
+        self.sequence += 1
+        self._segments = []
+        self._continued = next_continued
+        self._bos_pending = False
+
+    def write_packet(self, data: bytes, granulepos: int = -1, *,
+                     flush: bool = False, eos: bool = False):
+        """Append one packet; granulepos applies if the packet ends a page.
+
+        flush forces a page boundary after this packet (the mapping requires
+        the first header packet alone on the BOS page).
+        """
+        pos = 0
+        while True:
+            seg = data[pos:pos + 255]
+            self._segments.append(seg)
+            pos += len(seg)
+            if len(self._segments) == 255:
+                # page full mid-packet: emit as continued
+                ends_here = pos >= len(data) and len(seg) < 255
+                self._flush_page(granulepos if ends_here else -1,
+                                 next_continued=not ends_here)
+            if len(seg) < 255:
+                break
+        self._granulepos = granulepos
+        if flush or eos:
+            self._flush_page(granulepos, eos=eos)
+
+    def flush(self, *, eos: bool = False):
+        if self._segments or eos:
+            self._flush_page(self._granulepos, eos=eos)
+
+
+def read_pages(data: bytes, start: int = 0):
+    """Iterate (page_dict, end_offset) over an Ogg byte stream."""
+    pos = start
+    n = len(data)
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != _MAGIC:
+            # resync: scan for capture pattern (decoder aspect tolerance)
+            nxt = data.find(_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        if data[pos + 4] != 0:
+            raise OggError("unsupported Ogg version")
+        htype = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little")
+        serial = int.from_bytes(data[pos + 14:pos + 18], "little")
+        seq = int.from_bytes(data[pos + 18:pos + 22], "little")
+        crc_stored = int.from_bytes(data[pos + 22:pos + 26], "little")
+        nseg = data[pos + 26]
+        lace = data[pos + 27:pos + 27 + nseg]
+        if len(lace) < nseg:
+            return
+        body_len = sum(lace)
+        end = pos + 27 + nseg + body_len
+        if end > n:
+            return
+        page = data[pos:end]
+        if crc32_ogg(page[:22] + b"\x00\x00\x00\x00" + page[26:]) \
+                != crc_stored:
+            pos += 1
+            continue
+        body = page[27 + nseg:]
+        segs, o = [], 0
+        for lv in lace:
+            segs.append(body[o:o + lv])
+            o += lv
+        yield dict(header_type=htype, granulepos=granule, serial=serial,
+                   sequence=seq, lacing=list(lace), segments=segs), end
+        pos = end
+
+
+def pages_to_packets(pages):
+    """Reassemble packets per serial from an in-order page iterator."""
+    partial: dict[int, bytearray] = {}
+    for page in pages:
+        serial = page["serial"]
+        buf = partial.setdefault(serial, bytearray())
+        if not (page["header_type"] & 0x01):
+            buf.clear()
+        for lv, seg in zip(page["lacing"], page["segments"]):
+            buf += seg
+            if lv < 255:
+                yield serial, bytes(buf), page
+                buf.clear()
+    # a final packet without a terminating lacing value is dropped
+    # (truncated stream), matching the reference's EOS behavior
+
+
+# ---------------------------------------------------------------------------
+# FLAC-in-Ogg encode
+# ---------------------------------------------------------------------------
+
+def wrap_flac_stream(flac: bytes, out, *, serial: int = 0x464C4143):
+    """Wrap a complete native FLAC stream into Ogg FLAC.
+
+    Splits the stream at metadata-block and frame boundaries (native
+    scanner) and re-emits per the mapping.  The granulepos of each audio
+    page is the last sample number it completes.
+    """
+    from .decoder import parse_metadata, scan_frames
+    if flac[:4] != fmt.STREAM_SYNC_STRING:
+        raise OggError("not a FLAC stream")
+    # split metadata region into blocks
+    blocks = []          # (offset, size, is_last)
+    pos = 4
+    while True:
+        hdr = flac[pos:pos + 4]
+        is_last = hdr[0] >> 7
+        size = int.from_bytes(hdr[1:4], "big")
+        blocks.append((pos, 4 + size))
+        pos += 4 + size
+        if is_last:
+            break
+    st, _ = parse_metadata(flac, 4)
+    frames = scan_frames(flac, st, pos)
+
+    w = PageWriter(out, serial)
+    nheaders = len(blocks)  # includes STREAMINFO; stored as count-1 extra
+    first = bytearray()
+    first += bytes([0x7F]) + b"FLAC"
+    first += bytes(MAPPING_VERSION)
+    first += (nheaders - 1).to_bytes(2, "big")
+    first += fmt.STREAM_SYNC_STRING
+    b0_off, b0_size = blocks[0]
+    # STREAMINFO must be marked non-last inside Ogg when more headers follow
+    blk = bytearray(flac[b0_off:b0_off + b0_size])
+    blk[0] = (blk[0] & 0x7F) | (0x80 if nheaders == 1 else 0)
+    first += blk
+    w.write_packet(bytes(first), 0, flush=True)
+    for i, (off, size) in enumerate(blocks[1:], 1):
+        blk = bytearray(flac[off:off + size])
+        blk[0] = (blk[0] & 0x7F) | (0x80 if i == nheaders - 1 else 0)
+        w.write_packet(bytes(blk), 0, flush=(i == nheaders - 1))
+    sample = 0
+    for i, f in enumerate(frames):
+        sample = (f["number"] if f["variable"]
+                  else f["number"] * st.min_blocksize) + f["blocksize"]
+        w.write_packet(flac[f["offset"]:f["offset"] + f["size"]], sample,
+                       eos=(i == len(frames) - 1))
+    if not frames:
+        w.flush(eos=True)
+
+
+# ---------------------------------------------------------------------------
+# FLAC-in-Ogg decode
+# ---------------------------------------------------------------------------
+
+@dataclass
+class OggFlacLink:
+    serial: int
+    flac: bytes          # reconstructed native FLAC stream
+    total_samples: int = 0
+
+
+def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
+    """Demux Ogg FLAC (including chained streams) into native FLAC links.
+
+    Chained-stream link detection follows ogg_decoder_aspect.c:603-640: a
+    BOS page after an EOS page starts a new link.
+    """
+    links: list[OggFlacLink] = []
+    cur: bytearray | None = None
+    cur_serial = None
+    headers_left = 0
+    last_granule = 0
+    pages = (p for p, _ in read_pages(data))
+    for serial, packet, page in pages_to_packets(pages):
+        if (len(packet) >= 9 and packet[0] == 0x7F
+                and packet[1:5] == b"FLAC"):
+            if cur is not None:
+                links.append(OggFlacLink(cur_serial, bytes(cur),
+                                         last_granule))
+            if packet[5] != MAPPING_VERSION[0]:
+                raise OggError(f"unsupported mapping version {packet[5]}")
+            headers_left = int.from_bytes(packet[7:9], "big")
+            body = packet[9:]
+            if body[:4] != fmt.STREAM_SYNC_STRING:
+                raise OggError("bad first header packet")
+            cur = bytearray(body)
+            cur_serial = serial
+            # fix STREAMINFO's last-metadata-block flag for the rebuilt
+            # native stream: last iff no more header packets follow
+            if headers_left:
+                cur[4] &= 0x7F
+            else:
+                cur[4] |= 0x80
+            continue
+        if cur is None or serial != cur_serial:
+            continue  # non-FLAC logical stream: skip
+        if headers_left > 0:
+            blk = bytearray(packet)
+            headers_left -= 1
+            blk[0] = (blk[0] & 0x7F) | (0 if headers_left else 0x80)
+            cur += blk
+            continue
+        cur += packet
+        if page["granulepos"] != (1 << 64) - 1:
+            last_granule = page["granulepos"]
+    if cur is not None:
+        links.append(OggFlacLink(cur_serial, bytes(cur), last_granule))
+    if not links:
+        raise OggError("no Ogg FLAC stream found")
+    return links
+
+
+def is_ogg(data: bytes) -> bool:
+    return data[:4] == _MAGIC
+
+
+def decode_ogg_flac(data: bytes, **kw):
+    """Decode (possibly chained) Ogg FLAC; returns a DecodedStream with the
+    links' PCM concatenated when parameters match (flac CLI behavior)."""
+    from .decoder import decode_stream_tpu
+    links = unwrap_ogg_flac(data)
+    streams = [decode_stream_tpu(l.flac, **kw) for l in links]
+    first = streams[0]
+    for s in streams[1:]:
+        if (s.sample_rate, s.channels, s.bits_per_sample) != \
+                (first.sample_rate, first.channels, first.bits_per_sample):
+            raise OggError("chained links have differing stream parameters")
+        first.samples = np.concatenate([first.samples, s.samples], axis=1)
+        first.total_samples += s.total_samples
+    return first

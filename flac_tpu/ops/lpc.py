@@ -221,11 +221,19 @@ def levinson_all_orders(autoc, max_order: int):
 # Coefficient quantization (error-feedback rounding)
 # ---------------------------------------------------------------------------
 
+# exact 2.0**e values precomputed on host; jnp.exp2 can be an ulp off
+# (observed on XLA CPU) and jnp.ldexp lowers through frexp's s64
+# bitcast-convert, which the TPU x64 rewrite rejects — a gather from an
+# exact constant table avoids both
+_POW2_MIN, _POW2_MAX = -1075, 1024
+_POW2_TABLE = np.ldexp(1.0, np.arange(_POW2_MIN, _POW2_MAX + 1))
+
+
 def _pow2(e):
-    """Exact 2.0**e for integer e. jnp.exp2 can be an ulp off (observed on
-    XLA CPU), which breaks exact arithmetic-shift semantics in the f64
-    residual/quantizer paths; ldexp is exact by construction."""
-    return jnp.ldexp(jnp.float64(1.0), e.astype(jnp.int32))
+    """Exact 2.0**e (f64) for integer e, saturating at the f64 range."""
+    idx = jnp.clip(e.astype(jnp.int32) - _POW2_MIN, 0,
+                   _POW2_TABLE.shape[0] - 1)
+    return jnp.asarray(_POW2_TABLE)[idx]
 
 
 def quantize_coefficients(coeffs, order_index, precision):

@@ -12,6 +12,11 @@ import jax  # noqa: E402
 # deterministic 8-device virtual CPU mesh instead
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite is compile-dominated on CPU; repeat
+# runs hit the cache and run in a fraction of the cold time
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
