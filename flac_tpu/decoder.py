@@ -498,5 +498,8 @@ def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
 
 
 def decode_stream_auto(data: bytes, **kw) -> DecodedStream:
-    """Device decode with host fallback for odd inputs."""
+    """Container-sniffing decode: native FLAC or Ogg FLAC by magic."""
+    from .ogg import decode_ogg_flac, is_ogg
+    if is_ogg(data):
+        return decode_ogg_flac(data, **kw)
     return decode_stream_tpu(data, **kw)

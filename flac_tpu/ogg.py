@@ -83,7 +83,10 @@ class PageWriter:
         self._segments: list[bytes] = []
         self._continued = False
         self._bos_pending = True
-        self._granulepos = 0
+        # granulepos of the last packet COMPLETED on the current page;
+        # -1 while no packet has ended on it (ogg_encoder_aspect.c:202-228
+        # semantics: -1 is reserved for pages where no packet ends)
+        self._page_granulepos = -1
 
     def _flush_page(self, granulepos: int, *, eos: bool = False,
                     next_continued: bool = False):
@@ -97,10 +100,12 @@ class PageWriter:
         self._segments = []
         self._continued = next_continued
         self._bos_pending = False
+        self._page_granulepos = -1
 
     def write_packet(self, data: bytes, granulepos: int = -1, *,
                      flush: bool = False, eos: bool = False):
-        """Append one packet; granulepos applies if the packet ends a page.
+        """Append one packet; its granulepos stamps whichever page it
+        completes on (or the forced flush below).
 
         flush forces a page boundary after this packet (the mapping requires
         the first header packet alone on the BOS page).
@@ -110,20 +115,22 @@ class PageWriter:
             seg = data[pos:pos + 255]
             self._segments.append(seg)
             pos += len(seg)
+            ends_here = pos >= len(data) and len(seg) < 255
+            if ends_here:
+                self._page_granulepos = granulepos
             if len(self._segments) == 255:
-                # page full mid-packet: emit as continued
-                ends_here = pos >= len(data) and len(seg) < 255
-                self._flush_page(granulepos if ends_here else -1,
+                # page full: stamp the last packet completed on it (-1 only
+                # when the whole page is mid-packet)
+                self._flush_page(self._page_granulepos,
                                  next_continued=not ends_here)
             if len(seg) < 255:
                 break
-        self._granulepos = granulepos
         if flush or eos:
-            self._flush_page(granulepos, eos=eos)
+            self.flush(eos=eos)
 
     def flush(self, *, eos: bool = False):
         if self._segments or eos:
-            self._flush_page(self._granulepos, eos=eos)
+            self._flush_page(self._page_granulepos, eos=eos)
 
 
 def read_pages(data: bytes, start: int = 0):
@@ -174,9 +181,18 @@ def pages_to_packets(pages):
     for page in pages:
         serial = page["serial"]
         buf = partial.setdefault(serial, bytearray())
+        pairs = list(zip(page["lacing"], page["segments"]))
         if not (page["header_type"] & 0x01):
             buf.clear()
-        for lv, seg in zip(page["lacing"], page["segments"]):
+        elif not buf:
+            # resync landed on a continued page with no pending partial:
+            # the packet's head is lost, so drop its remaining segments
+            # (up to and including the first lacing value < 255)
+            while pairs and pairs[0][0] == 255:
+                pairs.pop(0)
+            if pairs:
+                pairs.pop(0)
+        for lv, seg in pairs:
             buf += seg
             if lv < 255:
                 yield serial, bytes(buf), page
@@ -272,6 +288,10 @@ def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
             if packet[5] != MAPPING_VERSION[0]:
                 raise OggError(f"unsupported mapping version {packet[5]}")
             headers_left = int.from_bytes(packet[7:9], "big")
+            # a count of 0 means "unknown" (ogg_mapping): keep consuming
+            # metadata packets (trusting their embedded last-flags) until
+            # one carries the last-metadata bit
+            headers_unknown = headers_left == 0
             body = packet[9:]
             if body[:4] != fmt.STREAM_SYNC_STRING:
                 raise OggError("bad first header packet")
@@ -281,11 +301,23 @@ def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
             # native stream: last iff no more header packets follow
             if headers_left:
                 cur[4] &= 0x7F
+            elif headers_unknown:
+                headers_left = 0 if (cur[4] & 0x80) else -1
             else:
                 cur[4] |= 0x80
             continue
         if cur is None or serial != cur_serial:
             continue  # non-FLAC logical stream: skip
+        if headers_left == -1:
+            # unknown header count: every non-frame packet is metadata
+            if packet and packet[0] != 0xFF:
+                blk = bytearray(packet)
+                if blk[0] & 0x80:
+                    headers_left = 0
+                cur += blk
+                continue
+            # malformed (frame before a last-flagged block): fall through
+            headers_left = 0
         if headers_left > 0:
             blk = bytearray(packet)
             headers_left -= 1

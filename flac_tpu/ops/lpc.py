@@ -226,7 +226,8 @@ def levinson_all_orders(autoc, max_order: int):
 # bitcast-convert, which the TPU x64 rewrite rejects — a gather from an
 # exact constant table avoids both
 _POW2_MIN, _POW2_MAX = -1075, 1024
-_POW2_TABLE = np.ldexp(1.0, np.arange(_POW2_MIN, _POW2_MAX + 1))
+with np.errstate(over="ignore"):   # inf at the top entry is intentional
+    _POW2_TABLE = np.ldexp(1.0, np.arange(_POW2_MIN, _POW2_MAX + 1))
 
 
 def _pow2(e):

@@ -23,9 +23,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..format import (ENTROPY_CODING_METHOD_PARTITIONED_RICE_PARAMETER_LEN,
-                      ENTROPY_CODING_METHOD_PARTITIONED_RICE2_PARAMETER_LEN)
-
 # Sentinel cost for invalid configurations.  All cost math stays int32:
 # int64 reductions/argmins trigger pathological TPU x64-rewrite compiles.
 # 2^28 bits is far above any real frame (max ~2^21); sums of two sentinels
@@ -180,34 +177,3 @@ def _partition_cost_table_i64(u, order, N: int, max_po: int, kmax: int,
     return best_bits, best_k
 
 
-def rice2_adjust(best_bits, best_k, max_po: int, kmax: int):
-    """Account for the RICE/RICE2 method choice exactly.
-
-    The cost table charges 4 bits per parameter.  If any partition's best
-    parameter is >= 15 the stream must use RICE2 (5-bit parameters for ALL
-    partitions, stream_encoder.c:4786-4794).  For bps > 16 we therefore
-    compute both: cost4 with k clamped <= 14, and cost5 = unrestricted +1
-    bit/partition, and take the min — at least as good as the reference,
-    which simply eats the extra bit.  Caller uses `use_rice2` to emit the
-    method field and 5-bit parameters.
-
-    Only call this when kmax > 14; for <=16 bps streams params can't exceed
-    14 so plain RICE always applies.
-    """
-    raise NotImplementedError("wired in models/subframe once hi-res lands")
-
-
-def residual_coding_bits(best_bits, max_po_limit):
-    """Total subframe residual bits per partition order, adding the 2-bit
-    method + 4-bit partition-order fields; orders beyond the per-candidate
-    limit are invalidated.
-
-    best_bits:    [..., L] from partition_cost_table
-    max_po_limit: [...] int32 — highest legal partition order per candidate
-                  (depends on predictor order via format.c:541-553)
-    Returns (bits [..., L] int64, with method/order field included).
-    """
-    L = best_bits.shape[-1]
-    po = jnp.arange(L)
-    ok = po <= max_po_limit[..., None]
-    return jnp.where(ok, best_bits + 2 + 4, BIG)

@@ -76,6 +76,64 @@ def test_chained_ogg():
     assert np.array_equal(st.samples, np.concatenate([p1, p2], axis=1))
 
 
+def test_granulepos_on_full_pages():
+    """A page on which any packet completes must carry the granulepos of
+    the last completed packet; -1 is reserved for all-mid-packet pages
+    (ogg_encoder_aspect.c:202-228 semantics)."""
+    stream, pcm = _small_stream(seed=5, n=65536)
+    out = io.BytesIO()
+    ogg.wrap_flac_stream(stream, out)
+    pages = [p for p, _ in ogg.read_pages(out.getvalue())]
+    unk = (1 << 64) - 1
+    audio = [p for p in pages if p["sequence"] >= 2]
+    assert any(len(p["lacing"]) == 255 for p in audio)  # pages did fill
+    for p in audio:
+        if any(l < 255 for l in p["lacing"]):
+            assert p["granulepos"] != unk
+    gs = [p["granulepos"] for p in audio if p["granulepos"] != unk]
+    assert gs == sorted(gs) and gs[-1] == pcm.shape[1]
+
+
+def test_packet_resync_on_continued_page():
+    """Dropping the page that starts a packet must not splice the packet's
+    tail onto the next packet (ADVICE: continued-page resync)."""
+    out = io.BytesIO()
+    w = ogg.PageWriter(out, serial=9)
+    w.write_packet(b"head", 0, flush=True)
+    w.write_packet(b"A" * 70000, 1, flush=True)   # spans >1 page
+    w.write_packet(b"tailpkt", 2, eos=True)
+    pages = [p for p, _ in ogg.read_pages(out.getvalue())]
+    # drop the page where the big packet starts (first continued-less
+    # audio page); keep its continuation pages
+    start_idx = next(i for i, p in enumerate(pages)
+                     if p["sequence"] >= 1 and not p["header_type"] & 0x01
+                     and p["segments"][0][:1] == b"A")
+    kept = pages[:start_idx] + pages[start_idx + 1:]
+    pkts = [pkt for _, pkt, _ in ogg.pages_to_packets(iter(kept))]
+    assert b"tailpkt" in pkts
+    assert all(not p.startswith(b"A") for p in pkts if p != b"head")
+
+
+def test_unknown_header_count():
+    """header count 0 = 'unknown': trailing metadata packets must still be
+    treated as metadata (embedded last-flags drive termination)."""
+    stream, pcm = _small_stream(seed=6, n=4096)
+    out = io.BytesIO()
+    ogg.wrap_flac_stream(stream, out)
+    data = bytearray(out.getvalue())
+    # patch the 2-byte count inside the first packet to 0 and refresh the
+    # page CRC (count lives at offset 7 of packet 0 = page body)
+    first, end = next(ogg.read_pages(bytes(data)))
+    nseg = data[26]
+    body_off = 27 + nseg
+    data[body_off + 7:body_off + 9] = b"\x00\x00"
+    page = bytes(data[:end])
+    crc = ogg.crc32_ogg(page[:22] + b"\0\0\0\0" + page[26:])
+    data[22:26] = crc.to_bytes(4, "little")
+    st = ogg.decode_ogg_flac(bytes(data))
+    assert np.array_equal(st.samples, pcm)
+
+
 def test_ogg_resync_after_garbage():
     stream, pcm = _small_stream(seed=4, n=4096)
     out = io.BytesIO()
