@@ -33,6 +33,7 @@ from .config import EncoderConfig
 from .models import frame as frame_mod
 from .models import stereo as stereo_mod
 from .models import subframe as subframe_mod
+from .ops import bitpack
 from .ops import lpc as lpc_ops
 from .utils.bits import BitWriter
 
@@ -65,6 +66,48 @@ def encode_batch(pcm, first_frame_number, cfg: EncoderConfig,
     frame_numbers = first_frame_number + jnp.arange(B, dtype=jnp.int64)
     return frame_mod.assemble_frames(choice, signal, assignment,
                                      frame_numbers, cfg, blocksize)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "blocksize",
+                                              "cap_bytes"))
+def encode_batches_dense(pcm, first_frame_number, cfg: EncoderConfig,
+                         blocksize: int, cap_bytes: int):
+    """Encode K batches in ONE dispatch and emit a dense byte stream.
+
+    Two tunnel/PCIe costs dominate end-to-end encode on a remote chip: the
+    per-dispatch latency and the device->host fetch of the padded per-frame
+    word buffers (worst-case bound ~3x the compressed size).  This wrapper
+    (a) folds K encode_batch steps into a single lax.scan dispatch and
+    (b) concatenates each batch's frames back-to-back on-device into a
+    [cap_bytes] uint8 buffer, so the fetch moves only ~the compressed bytes.
+
+    pcm: [K, B, C, N] integer blocks (int16 accepted and widened on-device
+         so 16-bit sources transfer at half width).
+    Returns (dense [K, cap_bytes] uint8, lens [K, B] int32).  Frames of
+    batch k occupy dense[k, :sum(lens[k])] in order.  If sum(lens[k]) >
+    cap_bytes the batch overflowed (detect on host; re-run via
+    encode_batch) — with cap_bytes >= B*(N*bps/8 + 64) overflow is
+    impossible because rice-coded subframes never beat verbatim by losing.
+    """
+    def step(fn, blocks):
+        packed = encode_batch(blocks.astype(jnp.int32), fn, cfg, blocksize)
+        lens = packed.byte_len                       # [B]
+        offs = jnp.cumsum(lens) - lens               # [B] start offsets
+        byts = bitpack.words_to_bytes(packed.words)  # [B, 4W]
+        # gather formulation (a scatter into the dense buffer compiles
+        # pathologically on XLA): for each output byte j, find its owning
+        # frame via searchsorted on the offsets, then gather
+        j = jnp.arange(cap_bytes, dtype=jnp.int32)
+        fidx = jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1
+        fidx = jnp.clip(fidx, 0, lens.shape[0] - 1)
+        src = j - offs[fidx]
+        valid = (src >= 0) & (src < lens[fidx])
+        dense = jnp.where(
+            valid, byts[fidx, jnp.clip(src, 0, byts.shape[1] - 1)], 0)
+        return fn + lens.shape[0], (dense, lens)
+
+    _, (dense, lens) = jax.lax.scan(step, first_frame_number, pcm)
+    return dense, lens
 
 
 def _md5_bytes_per_sample(bps: int) -> int:
@@ -211,6 +254,13 @@ class StreamEncoder:
                               np.int64(self._frame_number), self.cfg, N)
         words = np.asarray(packed.words)
         lens = np.asarray(packed.byte_len).astype(np.int64)
+        if int(lens.max()) > words.shape[1] * 4:
+            # the packer's scatter would have dropped bits past the buffer
+            # (exact costs make this structurally impossible; fail loudly
+            # rather than emit a silently-truncated frame)
+            raise RuntimeError(
+                f"frame exceeded worst-case pack buffer: {int(lens.max())} "
+                f"bytes > {words.shape[1] * 4} (encoder bug)")
         wbytes = words.astype(">u4").view(np.uint8).reshape(
             words.shape[0], -1)
         if self._seektable is not None:

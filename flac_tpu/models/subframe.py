@@ -1,15 +1,16 @@
-"""Subframe model search: the candidate grid replacing the reference's
-nested greedy loops.
+"""Subframe model search: order-guessed candidate grid, one stacked pass.
 
-The reference evaluates one model at a time per subframe with estimated bit
-counts (process_subframe_, stream_encoder.c:4045-4290).  Here every
-candidate — CONSTANT, VERBATIM, FIXED orders 0-4, and LPC over
-{apodization x order} — is scored with *exact* Rice-coded bit counts in one
-batched pass over [B, CH, N] tensors, followed by a single argmin.  The
-minimum over a candidate superset with exact costs can never exceed the
-reference's choice for the same quantized coefficients, which is how the
-"<= libFLAC size" target is met structurally rather than by mimicking
-control flow.
+The reference evaluates one model at a time per subframe (process_subframe_,
+stream_encoder.c:4045-4290): per apodization it runs Levinson, *guesses* the
+best LPC order from the modeling errors (apply_apodization_,
+stream_encoder.c:4380-4391 -> lpc.c:1608-1630) and evaluates only that
+order (all orders with -e).  Here the same candidate policy is evaluated as
+one batched tensor pass: every candidate — CONSTANT, VERBATIM, FIXED orders
+0-4, and one guessed (order, coeffs) per apodization — lands on a single
+stacked candidate axis, residuals and *exact* partitioned-Rice costs are
+computed for all of them at once, and a single argmin picks the winner.
+Exact costs over the same candidate set the reference scores with
+estimates is how the "<= libFLAC size" target is met structurally.
 
 CH indexes the channel *candidates* (left, right, mid, side for stereo),
 not the final stream channels; the stereo assignment picks among them
@@ -20,7 +21,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,10 +50,6 @@ class SubframeChoice(NamedTuple):
     use_rice2: jnp.ndarray   # [B, CH] bool — 5-bit parameter method
 
 
-def _ilog2_static(n: int) -> int:
-    return n.bit_length() - 1
-
-
 def _max_po_limit(order, N: int, max_po: int):
     """Highest partition order with (N>>po) > order (format.c:541-553)."""
     po = jnp.arange(max_po + 1, dtype=jnp.int32)
@@ -70,9 +66,11 @@ def _rice_cost(u32, order, N: int, max_po: int, cfg: EncoderConfig):
     if cfg.rice_param_limit <= 15:
         bits, ks = rice_ops.partition_cost_table(
             u32, order, N, max_po, kmax=14, plen=4)
-        L = bits.shape[-1]
         rice2 = jnp.zeros(bits.shape, bool)
     else:
+        # RICE2 is chosen iff it is cheaper for the whole subframe (the
+        # reference pays 5-bit params whenever any partition needs k>=15,
+        # stream_encoder.c:4786-4794; exact min here is never worse)
         bits4, ks4 = rice_ops.partition_cost_table(
             u32, order, N, max_po, kmax=14, plen=4)
         bits5, ks5 = rice_ops.partition_cost_table(
@@ -82,13 +80,28 @@ def _rice_cost(u32, order, N: int, max_po: int, cfg: EncoderConfig):
         ks = jnp.where(rice2[..., None], ks5, ks4)
     limit = _max_po_limit(order, N, max_po)
     po_idx = jnp.arange(bits.shape[-1])
+    # the reference searches partition orders in [min_po, max_po]
+    # (find_best_partition_order_)
     ok = (po_idx <= limit[..., None]) & (
         po_idx >= cfg.min_residual_partition_order)
-    # min partition order: the reference searches [min_po, max_po]
-    # (find_best_partition_order_); po below min is not allowed unless
-    # nothing else is valid — po 0 is always legal when min_po is 0.
     bits = jnp.where(ok, bits + 2 + 4, BIG)
     return bits, ks, rice2
+
+
+def _select_c(stack_arr, win_c, n_cand: int):
+    """One-hot select along a small candidate axis (axis 2) with masked
+    selects — per-row gathers serialize on TPU, dense selects stay vector.
+
+    stack_arr: [B, CH, C, ...]; win_c: [B, CH] int32 in [0, n_cand).
+    Returns [B, CH, ...].
+    """
+    out = stack_arr[:, :, 0]
+    for c in range(1, n_cand):
+        m = win_c == c
+        while m.ndim < out.ndim:
+            m = m[..., None]
+        out = jnp.where(m, stack_arr[:, :, c], out)
+    return out
 
 
 def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
@@ -102,8 +115,6 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     B, CH, N = x.shape
     max_po = fmt.max_rice_partition_order_limited(
         cfg.max_residual_partition_order, N, 0)
-    P = 1 << max_po
-    # a final short block can be smaller than the configured max order
     O = min(cfg.max_lpc_order, N - 1)
     overhead = 8 + wasted                         # subframe header bits
     bps32 = bps_eff
@@ -130,15 +141,10 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     else:
         fres = jnp.where(fmask, fixed_ops.fixed_residuals_all(x), 0)
         f_ok = jnp.ones(fres.shape[:-1], bool)
-    fu = rice_ops.zigzag(fres)
-    forder_b = jnp.broadcast_to(forder, fres.shape[:-1]).astype(jnp.int32)
-    f_rice, f_ks, f_rice2 = _rice_cost(fu, forder_b, N, max_po, cfg)
-    f_rice_best = jnp.min(f_rice, axis=-1)        # [B, CH, 5]
-    fixed_bits = (overhead[..., None] + forder * bps32[..., None]
-                  + jnp.minimum(f_rice_best, BIG))
-    fixed_bits = jnp.where(f_ok & (forder < N), fixed_bits, BIG)
+    forder_b = jnp.broadcast_to(forder, (B, CH, 5)).astype(jnp.int32)
 
-    # ---- LPC candidates: apodizations x orders ----
+    # ---- LPC candidates: one guessed order per apodization (all orders
+    # with -e, mirroring min_lpc_order=1 at stream_encoder.c:4221-4224) ----
     if O > 0:
         A = bank.combine.shape[0]
         windows = jnp.asarray(bank.windows)       # [W, N] f32
@@ -147,50 +153,90 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
         autoc_w = lpc_ops.autocorrelation(xw, O)  # [B,CH,W,O+1] f64
         autoc = jnp.einsum("aw,...wl->...al", combine.astype(jnp.float64),
                            autoc_w)               # [B,CH,A,O+1]
-        coeffs, _err, order_ok = lpc_ops.levinson_all_orders(autoc, O)
-        orders = np.arange(1, O + 1)
+        coeffs, errs, order_ok = lpc_ops.levinson_all_orders(autoc, O)
+        # coeffs [B,CH,A,O,32] f32, errs [B,CH,A,O] f64
+
+        if cfg.do_exhaustive_model_search:
+            # -e: every order of every apodization is a candidate
+            AC = A * O
+            cand_coeffs = coeffs.reshape(B, CH, AC, 32)
+            cand_order = jnp.broadcast_to(
+                jnp.arange(1, O + 1, dtype=jnp.int32), (B, CH, A, O)
+            ).reshape(B, CH, AC)
+            cand_ok = order_ok.reshape(B, CH, AC)
+            # "don't even try" signal per candidate (st..c:4227-4229)
+            ordf = cand_order.astype(jnp.float64)
+            errf = errs.reshape(B, CH, AC)
+            scale = 0.5 / (N - ordf)
+            est = 0.5 * jnp.log2(jnp.where(errf > 0, errf * scale, 1.0))
+            est = jnp.where(errf > 0, jnp.maximum(est, 0.0),
+                            jnp.where(errf < 0, 1e32, 0.0))
+        else:
+            AC = A
+            guess, est = lpc_ops.estimate_best_order(
+                errs, N, bps32[..., None] + cfg.qlp_coeff_precision)
+            # one-hot select the guessed order's coefficients (f32 exact:
+            # a single nonzero per sum)
+            onehot = (jnp.arange(O)[None, None, None]
+                      == (guess - 1)[..., None]).astype(jnp.float32)
+            cand_coeffs = jnp.einsum("bcao,bcaoj->bcaj", onehot, coeffs)
+            cand_order = guess                    # [B, CH, A]
+            cand_ok = jnp.take_along_axis(
+                order_ok, (guess - 1)[..., None], axis=-1)[..., 0]
+        # skip candidates whose estimated rate already exceeds raw bps
+        cand_ok = cand_ok & (est < bps32[..., None].astype(jnp.float64))
+
         # qlp precision clamp (evaluate_lpc_subframe_, st..c:4591-4595)
         static_prec = cfg.qlp_coeff_precision
-        ilog2_o = np.array([_ilog2_static(int(o)) for o in orders])
         prec = jnp.where(
-            bps_eff[..., None] <= 17,
+            bps32[..., None] <= 17,
             jnp.minimum(static_prec,
-                        32 - bps_eff[..., None] - ilog2_o[None, None, :]),
-            static_prec).astype(jnp.int32)        # [B, CH, O]
+                        32 - bps32[..., None] - lpc_ops.ilog2(cand_order)),
+            static_prec).astype(jnp.int32)        # [B, CH, AC]
+
         qc, qshift, q_ok = lpc_ops.quantize_coefficients(
-            coeffs, orders, prec[..., None, :])   # [B,CH,A,O,32] etc.
+            cand_coeffs, cand_order, prec)        # [B,CH,AC,32] ...
 
         lpc_mode = "i32" if cfg.max_subframe_bps <= 17 else "f64"
-        lpc_bits_list = []
-        lpc_po_list = []
-        for a in range(A):
-            res_a, ok_a = lpc_ops.lpc_residual_all_orders(
-                x, qc[:, :, a], qshift[:, :, a], orders, lpc_mode)
-            u_a = rice_ops.zigzag(res_a)
-            ob = jnp.broadcast_to(
-                jnp.asarray(orders, jnp.int32), u_a.shape[:-1])
-            r_bits, _ks, _r2 = _rice_cost(u_a, ob, N, max_po, cfg)
-            best = jnp.min(r_bits, axis=-1)       # [B, CH, O]
-            po_a = jnp.argmin(r_bits, axis=-1).astype(jnp.int32)
-            o32 = jnp.asarray(orders, jnp.int32)
-            total = (overhead[..., None] + 4 + 5
-                     + o32 * (prec + bps32[..., None])
-                     + jnp.minimum(best, BIG))
-            valid = (ok_a & order_ok[:, :, a] & q_ok[:, :, a]
-                     & (best < BIG))
-            lpc_bits_list.append(jnp.where(valid, total, BIG))
-            lpc_po_list.append(po_a)
-        lpc_bits = jnp.stack(lpc_bits_list, axis=2)   # [B, CH, A, O]
+        res_lpc, fit_ok = lpc_ops.lpc_residual(
+            x, qc, qshift, cand_order, bps32, lpc_mode)   # [B,CH,AC,N]
+        lpc_ok = cand_ok & q_ok & fit_ok
     else:
-        A = 0
-        lpc_bits = jnp.full((B, CH, 0, 0), BIG, jnp.int32)
+        AC = 0
+        res_lpc = jnp.zeros((B, CH, 0, N), jnp.int32)
+        cand_order = jnp.zeros((B, CH, 0), jnp.int32)
+        qc = jnp.zeros((B, CH, 0, 32), jnp.int32)
+        qshift = jnp.zeros((B, CH, 0), jnp.int32)
+        prec = jnp.zeros((B, CH, 0), jnp.int32)
+        lpc_ok = jnp.zeros((B, CH, 0), bool)
+
+    # ---- one exact Rice pass over ALL rice-coded candidates ----
+    C_rice = 5 + AC
+    res_all = jnp.concatenate([fres, res_lpc], axis=2)    # [B,CH,C,N]
+    order_all = jnp.concatenate([forder_b, cand_order], axis=2)
+    u = rice_ops.zigzag(res_all)
+    r_bits, r_ks, r_rice2 = _rice_cost(u, order_all, N, max_po, cfg)
+    rice_best = jnp.min(r_bits, axis=-1)          # [B, CH, C]
+    po_all = jnp.argmin(r_bits, axis=-1).astype(jnp.int32)
+
+    # header bits per candidate
+    fixed_hdr = overhead[..., None] + forder * bps32[..., None]
+    if AC:
+        lpc_hdr = (overhead[..., None] + 4 + 5
+                   + cand_order * (prec + bps32[..., None]))
+        hdr_all = jnp.concatenate([fixed_hdr, lpc_hdr], axis=2)
+        ok_all = jnp.concatenate(
+            [f_ok & (forder < N), lpc_ok], axis=2)
+    else:
+        hdr_all = fixed_hdr
+        ok_all = f_ok & (forder < N)
+    total_all = jnp.where(ok_all & (rice_best < BIG),
+                          hdr_all + jnp.minimum(rice_best, BIG), BIG)
 
     # ---- argmin over all candidates ----
-    # candidate vector: [verbatim, constant, fixed0..4, lpc(a*O+o-1)...]
-    cands = [verb_bits[..., None], const_bits[..., None], fixed_bits]
-    if O > 0:
-        cands.append(lpc_bits.reshape(B, CH, A * O))
-    allbits = jnp.concatenate(cands, axis=-1)
+    # candidate vector: [verbatim, constant, fixed0..4, lpc_0..AC-1]
+    allbits = jnp.concatenate(
+        [verb_bits[..., None], const_bits[..., None], total_all], axis=-1)
     win = jnp.argmin(allbits, axis=-1).astype(jnp.int32)   # [B, CH]
     best_bits = jnp.min(allbits, axis=-1)
 
@@ -198,57 +244,34 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
     is_constw = win == 1
     is_fixed = (win >= 2) & (win < 7)
     is_lpc = win >= 7
-    f_order = jnp.clip(win - 2, 0, 4)
-    lpc_flat = jnp.clip(win - 7, 0, max(A * O - 1, 0))
-    lpc_a = lpc_flat // max(O, 1)
-    lpc_o = lpc_flat % max(O, 1)                  # order-1
+    win_c = jnp.clip(win - 2, 0, C_rice - 1)      # index into the rice stack
 
     type_ = jnp.where(is_verb, fmt.SUBFRAME_TYPE_VERBATIM,
              jnp.where(is_constw, fmt.SUBFRAME_TYPE_CONSTANT,
               jnp.where(is_fixed, fmt.SUBFRAME_TYPE_FIXED,
                         fmt.SUBFRAME_TYPE_LPC))).astype(jnp.int32)
-    order = jnp.where(is_fixed, f_order,
-                      jnp.where(is_lpc, lpc_o + 1, 0)).astype(jnp.int32)
 
-    # ---- realize the winner ----
-    if O > 0:
-        ga = lpc_a[..., None, None, None]
-        go = lpc_o[..., None, None, None]
-        qc_win = jnp.take_along_axis(
-            jnp.take_along_axis(qc, ga, axis=2), go, axis=3)[:, :, 0, 0]
-        sh_win = jnp.take_along_axis(
-            jnp.take_along_axis(qshift, lpc_a[..., None, None], axis=2),
-            lpc_o[..., None, None], axis=3)[:, :, 0, 0]
-        prec_win = jnp.take_along_axis(prec, lpc_o[..., None], axis=2)[..., 0]
-        # LPC residual for the single winning candidate
-        res_lpc, _ = lpc_ops.lpc_residual_all_orders(
-            x, qc_win[:, :, None, :], sh_win[:, :, None],
-            np.array([1]), lpc_mode)
-        res_lpc = res_lpc[:, :, 0, :]
-        # mask below actual order
-        res_lpc = jnp.where(n_idx >= order[..., None], res_lpc, 0)
+    # ---- realize the winner from the per-candidate tables ----
+    order = jnp.where(is_fixed | is_lpc,
+                      _select_c(order_all, win_c, C_rice), 0)
+    residual = jnp.where((is_fixed | is_lpc)[..., None],
+                         _select_c(res_all, win_c, C_rice), 0)
+    po = jnp.where(is_fixed | is_lpc, _select_c(po_all, win_c, C_rice), 0)
+    ks_sel = _select_c(r_ks, win_c, C_rice)       # [B, CH, L, P]
+    params = jnp.take_along_axis(
+        ks_sel, po[..., None, None], axis=-2)[..., 0, :]   # [B, CH, P]
+    r2_sel = _select_c(r_rice2, win_c, C_rice)    # [B, CH, L]
+    use_rice2 = jnp.take_along_axis(r2_sel, po[..., None], -1)[..., 0]
+
+    if AC:
+        lidx = jnp.clip(win - 7, 0, AC - 1)
+        qc_win = jnp.where(is_lpc[..., None], _select_c(qc, lidx, AC), 0)
+        sh_win = jnp.where(is_lpc, _select_c(qshift, lidx, AC), 0)
+        prec_win = jnp.where(is_lpc, _select_c(prec, lidx, AC), 0)
     else:
         qc_win = jnp.zeros((B, CH, 32), jnp.int32)
         sh_win = jnp.zeros((B, CH), jnp.int32)
         prec_win = jnp.zeros((B, CH), jnp.int32)
-        res_lpc = jnp.zeros((B, CH, N), jnp.int32)
-
-    # masked select instead of take_along_axis (TPU row-gathers serialize)
-    res_fixed = fres[:, :, 0, :]
-    for o in range(1, 5):
-        res_fixed = jnp.where((f_order == o)[..., None], fres[:, :, o, :],
-                              res_fixed)
-    residual = jnp.where(is_lpc[..., None], res_lpc,
-                         jnp.where(is_fixed[..., None], res_fixed, 0))
-    residual = residual.astype(jnp.int32)
-
-    # final Rice realization on the winning residual
-    u = rice_ops.zigzag(residual)
-    r_bits, r_ks, r_rice2 = _rice_cost(u, order, N, max_po, cfg)
-    po = jnp.argmin(r_bits, axis=-1).astype(jnp.int32)
-    params = jnp.take_along_axis(
-        r_ks, po[..., None, None], axis=-2)[..., 0, :]     # [B, CH, P]
-    use_rice2 = jnp.take_along_axis(r_rice2, po[..., None], -1)[..., 0]
 
     warmup = x[..., :fmt.MAX_LPC_ORDER] if N >= fmt.MAX_LPC_ORDER else \
         jnp.pad(x, [(0, 0), (0, 0), (0, fmt.MAX_LPC_ORDER - N)])

@@ -31,44 +31,6 @@ MIN_SHIFT = -MAX_SHIFT - 1                                 # -16
 # Window bank
 # ---------------------------------------------------------------------------
 
-def _tukey_window(L: int, p: float) -> np.ndarray:
-    """FLAC tukey(p) window, float32 semantics (window.c:199-221)."""
-    w = np.ones(L, dtype=np.float64)
-    if p <= 0.0:
-        return w.astype(np.float32)
-    if p >= 1.0:
-        # hann (window.c:139-146): 0.5 - 0.5 cos(2 pi n / (L-1))
-        n = np.arange(L, dtype=np.float64)
-        return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / (L - 1))).astype(
-            np.float32)
-    Np = int(np.float32(p) / 2.0 * L) - 1
-    if Np > 0:
-        n = np.arange(Np + 1, dtype=np.float64)
-        rise = 0.5 - 0.5 * np.cos(np.pi * n / Np)
-        fall = 0.5 - 0.5 * np.cos(np.pi * (n + Np) / Np)
-        w[:Np + 1] = rise
-        w[L - Np - 1:] = fall
-    return w.astype(np.float32)
-
-
-def _partial_window_full_length(root: np.ndarray, part_size: int,
-                                shift: int) -> np.ndarray:
-    """Zero-padded full-length equivalent of FLAC__lpc_window_data_partial
-    (lpc.c:81-93): the segment [shift, shift+2*part_size) is windowed by the
-    root window's first and last `part_size` samples; everything else is 0,
-    so full-length autocorrelation equals the reference's segment
-    autocorrelation."""
-    L = len(root)
-    w = np.zeros(L, dtype=np.float32)
-    if part_size + shift >= L:
-        return w
-    w[shift:shift + part_size] = root[:part_size]
-    n2 = min(part_size, L - part_size - shift)
-    w[shift + part_size:shift + part_size + n2] = root[L - part_size:
-                                                       L - part_size + n2]
-    return w
-
-
 @dataclasses.dataclass(frozen=True)
 class ApodizationBank:
     """Precomputed windows plus the autocorrelation combination matrix.
@@ -85,82 +47,58 @@ class ApodizationBank:
 
 
 def build_apodization_bank(blocksize: int, specs: tuple) -> ApodizationBank:
-    """specs: tuple of strings like ('tukey(5e-1)', 'subdivide_tukey(3)').
-
-    Only the window families used by the compression presets are built here
-    (tukey, partial_tukey via subdivide, punchout via subtraction); the full
-    15-family bank lives in flac_tpu.ops.windows.
-    """
-    windows: list[np.ndarray] = []
-    rows: list[np.ndarray] = []
-    names: list[str] = []
-
-    def add_window(w) -> int:
-        windows.append(w)
-        return len(windows) - 1
-
-    for spec in specs:
-        spec = spec.strip()
-        if spec.startswith("subdivide_tukey"):
-            args = spec[len("subdivide_tukey("):-1].split("/")
-            parts = int(args[0])
-            p = float(args[1]) if len(args) > 1 else 0.5
-            root = _tukey_window(blocksize, p)
-            root_idx = add_window(root)
-            # depth 1: the root itself
-            r = np.zeros(512); r[root_idx] = 1.0
-            rows.append(r); names.append(f"subdivide_tukey({parts})@root")
-            for b in range(2, parts + 1):
-                if blocksize // b <= MAX_LPC_ORDER:
-                    break  # reference skips tiny parts (stream_encoder.c:4350)
-                part_size = blocksize // b // 2
-                for c in range(b):
-                    shift = (c * blocksize) // b
-                    w = _partial_window_full_length(root, part_size, shift)
-                    widx = add_window(w)
-                    r = np.zeros(512); r[widx] = 1.0
-                    rows.append(r)
-                    names.append(f"subdivide_tukey({parts})@{b}/{c}")
-                    if b > 2:  # punchout = root - partial (depth>2 only)
-                        r = np.zeros(512); r[root_idx] = 1.0; r[widx] = -1.0
-                        rows.append(r)
-                        names.append(f"subdivide_tukey({parts})@{b}/{c}^c")
-        elif spec.startswith("tukey"):
-            p = float(spec[len("tukey("):-1])
-            widx = add_window(_tukey_window(blocksize, p))
-            r = np.zeros(512); r[widx] = 1.0
-            rows.append(r); names.append(spec)
-        else:
-            raise ValueError(f"unsupported apodization spec: {spec}")
-
-    W = len(windows)
-    combine = np.stack([r[:W] for r in rows]).astype(np.float32)
-    return ApodizationBank(windows=np.stack(windows), combine=combine,
-                           names=tuple(names))
+    """specs: tuple of raw `-A` strings like ('tukey(5e-1)',
+    'subdivide_tukey(3)') — the full 15-family mini-language of
+    FLAC__stream_encoder_set_apodization (stream_encoder.c:1940-2065),
+    parsed and expanded by flac_tpu.ops.windows."""
+    from . import windows as windows_mod
+    canon = windows_mod.parse_specs(";".join(specs))
+    wins, combine, names = windows_mod.expand_bank(blocksize, canon)
+    return ApodizationBank(windows=wins, combine=combine, names=names)
 
 
 # ---------------------------------------------------------------------------
 # Autocorrelation
 # ---------------------------------------------------------------------------
 
-def autocorrelation(windowed, max_lag: int, acc_dtype=jnp.float64):
+def autocorrelation(windowed, max_lag: int, acc_dtype=jnp.float64,
+                    block: int = 128):
     """autoc[..., l] = sum_n d[n] * d[n+l] for l in 0..max_lag.
 
     windowed: [..., N] float32 (windowed signal)
     Returns [..., max_lag+1] in acc_dtype.
 
-    The reference accumulates float32 products in float64 (lpc.c:110-174);
-    we cast to the accumulator dtype first so products are exact, matching
-    it up to summation order.
+    The reference accumulates float32 products in float64 (lpc.c:110-174).
+    Emulated f64 multiplies over the full [..., N] tensor are the single
+    most expensive op on TPU, so instead: f32 products are summed per
+    `block` samples in f32 (relative error <= block*eps ~ 1.5e-5, far
+    inside the tolerance that survives coefficient quantization), and only
+    the N/block partials are combined in f64.  acc_dtype=float64 with
+    block=1 reproduces the reference's full-f64 accumulation for tests.
     """
-    d = windowed.astype(acc_dtype)
+    if block == 1:
+        d = windowed.astype(acc_dtype)
+        outs = []
+        for lag in range(max_lag + 1):
+            prod = d * d if lag == 0 else d[..., :-lag] * d[..., lag:]
+            outs.append(jnp.sum(prod, axis=-1))
+        return jnp.stack(outs, axis=-1)
+    N = windowed.shape[-1]
+    pad = (-N) % block
+    d = windowed
+    if pad:
+        d = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, pad)])
+    Np = N + pad
     outs = []
     for lag in range(max_lag + 1):
         if lag == 0:
             prod = d * d
         else:
-            prod = d[..., :-lag] * d[..., lag:]
-        outs.append(jnp.sum(prod, axis=-1))
+            shifted = jnp.pad(d[..., lag:],
+                              [(0, 0)] * (d.ndim - 1) + [(0, lag)])
+            prod = d * shifted
+        partial = prod.reshape(prod.shape[:-1] + (Np // block, block)).sum(-1)
+        outs.append(jnp.sum(partial.astype(acc_dtype), axis=-1))
     return jnp.stack(outs, axis=-1)
 
 
@@ -217,6 +155,45 @@ def levinson_all_orders(autoc, max_order: int):
     return coeffs, errs, ~was_dead
 
 
+def ilog2(v):
+    """floor(log2(v)) for traced integers in 1..32 (bitmath.c:63)."""
+    v = v.astype(jnp.int32)
+    return ((v > 1).astype(jnp.int32) + (v > 3) + (v > 7) + (v > 15)
+            + (v > 31))
+
+
+def estimate_best_order(errs, N: int, overhead_bits_per_order):
+    """Guess the cheapest LPC order from Levinson modeling errors.
+
+    Mirrors FLAC__lpc_compute_best_order (lpc.c:1608-1630): estimated
+    bits(o) = max(0, 0.5*log2(0.5/N * err[o])) * (N - o)
+              + o * overhead_bits_per_order, argmin over o.
+
+    errs: [..., O] f64 prediction error per order (order o at index o-1);
+          err < 0 (float-resolution artifacts) scores 1e32 like the
+          reference.
+    overhead_bits_per_order: [...] traced (subframe bps + qlp precision).
+    Returns (order [...] int32 in 1..O, est_bps_at_guess [...] f64 — the
+    "don't even try" signal recomputed at scale 0.5/(N-order) exactly like
+    the caller's check at stream_encoder.c:4227-4229).
+    """
+    O = errs.shape[-1]
+    orders = jnp.arange(1, O + 1, dtype=jnp.float64)
+
+    def est_bps(err, scale):
+        bps = 0.5 * jnp.log2(jnp.where(err > 0, err * scale, 1.0))
+        return jnp.where(err > 0, jnp.maximum(bps, 0.0),
+                         jnp.where(err < 0, 1e32, 0.0))
+
+    bits = (est_bps(errs, 0.5 / N) * (N - orders)
+            + orders * overhead_bits_per_order[..., None].astype(jnp.float64))
+    idx = jnp.argmin(bits, axis=-1)
+    guess = (idx + 1).astype(jnp.int32)
+    err_at = jnp.take_along_axis(errs, idx[..., None], axis=-1)[..., 0]
+    est_at = est_bps(err_at, 0.5 / (N - guess.astype(jnp.float64)))
+    return guess, est_at
+
+
 # ---------------------------------------------------------------------------
 # Coefficient quantization (error-feedback rounding)
 # ---------------------------------------------------------------------------
@@ -237,24 +214,24 @@ def _pow2(e):
     return jnp.asarray(_POW2_TABLE)[idx]
 
 
-def quantize_coefficients(coeffs, order_index, precision):
+def quantize_coefficients(coeffs, orders, precision):
     """Quantize float predictor coefficients per lpc.c:220-314.
 
-    coeffs:      [..., O, MAX_LPC_ORDER] float32 (order o at index o-1)
-    order_index: static int array [O] of actual orders (1..max)
-    precision:   static int array [O] — precision per order (after the
-                 evaluate_lpc_ clamp, stream_encoder.c:4591-4595)
+    coeffs:    [..., MAX_LPC_ORDER] float32 candidate coefficients (zero
+               beyond the candidate's order)
+    orders:    [...] traced int32 — actual order per candidate (1..32)
+    precision: [...] traced int32 — qlp precision per candidate (after the
+               evaluate_lpc_ clamp, stream_encoder.c:4591-4595)
 
-    Returns (qcoeffs int32 [..., O, 32], shift int32 [..., O],
-             valid bool [..., O]).
+    Returns (qcoeffs int32 [..., 32], shift int32 [...], valid bool [...]).
     """
     c = coeffs.astype(jnp.float64)
-    orders = jnp.asarray(order_index)
-    prec = jnp.asarray(precision)          # [O]
+    orders = jnp.asarray(orders)
+    prec = jnp.asarray(precision)
     jidx = jnp.arange(MAX_LPC_ORDER)
-    in_order = jidx[None, :] < orders[:, None]          # [O, 32]
+    in_order = jidx < orders[..., None]                 # [..., 32]
 
-    cmax = jnp.max(jnp.where(in_order, jnp.abs(c), 0), axis=-1)  # [..., O]
+    cmax = jnp.max(jnp.where(in_order, jnp.abs(c), 0), axis=-1)  # [...]
     valid = cmax > 0
 
     # log2cmax = floor(log2(cmax)) (equals the reference's frexp exponent-1,
@@ -295,32 +272,41 @@ def quantize_coefficients(coeffs, order_index, precision):
 # Residual computation — all orders in one einsum
 # ---------------------------------------------------------------------------
 
-def lpc_residual_all_orders(x, qcoeffs, shift, order_index, mode: str):
-    """residual[..., o, n] = x[n] - (sum_j q[o,j] * x[n-1-j]) >> shift[o]
-    for n >= order; positions n < order are zeroed.
+def lpc_residual(x, qcoeffs, shift, orders, bps_eff, mode: str):
+    """residual[..., a, n] = x[n] - (sum_j q[a,j] * x[n-1-j]) >> shift[a]
+    for n >= order[a]; positions n < order are zeroed.
 
-    x:        [..., N] int32 signal
-    qcoeffs:  [..., O, 32] int32
-    shift:    [..., O] int32
-    order_index: static [O] orders
-    mode:     "i32" — int32 accumulation with an f32-matmul overflow guard
-              (use when stream bps <= 16: the qlp-precision clamp at
-              evaluate_lpc_subframe_ keeps the accumulation near 32 bits,
-              and the guard invalidates the rare candidate that would
-              wrap).  "f64" — exact f64 accumulation (<= 2^52), for hi-res.
-              int64 is avoided entirely: TPU's x64-rewrite pass makes
-              s64-heavy graphs ~30x slower to compile and run.
+    x:        [..., N] int32 signal (wasted-bits-shifted: |x| < 2^(bps_eff-1))
+    qcoeffs:  [..., A, 32] int32 (zero beyond each candidate's order)
+    shift:    [..., A] int32
+    orders:   [..., A] traced int32
+    bps_eff:  [...] traced int32 — effective bps bound of x
+    mode:     "i32" — int32 accumulation; candidates whose accumulator or
+              residual could exceed int32 are invalidated via the exact
+              static range analysis the reference's decoder-width pick uses
+              (FLAC__lpc_max_prediction_before_shift_bps /
+              max_residual_bps, lpc.c:942-976): |pred| <= sum|q|*2^(bps-1)
+              and |res| <= 2^(bps-1) + (|pred| >> shift).  "f64" — exact
+              f64 accumulation (products <= 2^47, sums <= 2^52), for
+              hi-res.  int64 is avoided entirely: TPU's x64-rewrite pass
+              makes s64-heavy graphs ~30x slower to compile and run.
 
-    Returns (residual [..., O, N] int32, valid [..., O] bool).  Invalid
-    candidates (accumulator or residual would not fit) must be discarded
-    by the caller (mirrors the reference's limit_residual rejection,
-    lpc.c:832-940).
+    Returns (residual [..., A, N] int32, valid [..., A] bool).  Invalid
+    candidates must be discarded by the caller (mirrors the reference's
+    limit_residual rejection, lpc.c:832-940).
     """
     N = x.shape[-1]
-    orders = jnp.asarray(order_index)
     n_idx = jnp.arange(N, dtype=jnp.int32)
-    mask = n_idx[None, :] >= orders[:, None]            # [O, N]
+    mask = n_idx >= orders[..., None]                   # [..., A, N]
     max_j = min(MAX_LPC_ORDER, max(N - 1, 1), qcoeffs.shape[-1])
+
+    # exact candidate range analysis in f64 (all quantities < 2^50)
+    sum_abs_q = jnp.sum(jnp.abs(qcoeffs).astype(jnp.float64), axis=-1)
+    amp = _pow2((bps_eff - 1).astype(jnp.int32))[..., None]   # [..., 1]
+    pred_bound = sum_abs_q * amp
+    res_bound = amp + jnp.floor(pred_bound * _pow2(-shift))
+    fits = (pred_bound < jnp.float64(2 ** 31)) & \
+        (res_bound < jnp.float64(2 ** 31))
 
     def accumulate(xa, qa):
         pred = None
@@ -332,22 +318,18 @@ def lpc_residual_all_orders(x, qcoeffs, shift, order_index, mode: str):
         return pred
 
     if mode == "i32":
-        pred = accumulate(x, qcoeffs)                   # int32, may wrap
-        # overflow guard: approximate the pre-shift accumulator in f32
-        # (error << 2^15) and reject candidates approaching +-2^30
-        predf = accumulate(x.astype(jnp.float32),
-                           qcoeffs.astype(jnp.float32))
-        valid = jnp.max(jnp.abs(predf), axis=-1) < jnp.float32(2 ** 30)
-        pred = pred >> shift[..., None]
+        pred = accumulate(x, qcoeffs) >> shift[..., None]
         res = x[..., None, :] - pred
-        return jnp.where(mask, res, 0), valid
+        return jnp.where(mask, res, 0), fits
     elif mode == "f64":
         pred = accumulate(x.astype(jnp.float64),
                           qcoeffs.astype(jnp.float64))
         pred = jnp.floor(pred * _pow2(-shift[..., None]))
         res = x.astype(jnp.float64)[..., None, :] - pred
-        valid = jnp.max(jnp.abs(res), axis=-1) < jnp.float64(2 ** 31)
         res = jnp.where(mask, res, 0)
+        # f64 is exact here, so gate on the actual residual range (the
+        # reference's limit_residual behavior) — tighter than the bound
+        valid = jnp.max(jnp.abs(res), axis=-1) < jnp.float64(2 ** 31)
         return res.astype(jnp.int32), valid
     raise ValueError(f"unknown mode {mode}")
 

@@ -12,9 +12,23 @@ import jax  # noqa: E402
 # deterministic 8-device virtual CPU mesh instead
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compile cache: the suite is compile-dominated on CPU; repeat
-# runs hit the cache and run in a fraction of the cold time
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Persistent compile cache, keyed by this host's CPU feature set: the
+# suite is compile-dominated on 2 CPUs (cold run ~25+ min), and cache
+# entries AOT-compiled on one machine SIGILL when replayed on a host with
+# different CPU features — hashing the cpuinfo flags into the directory
+# name makes stale-machine replay impossible.  (An earlier abort inside
+# compilation_cache.put_executable_and_time was traced to a since-removed
+# pathological scatter graph; if it recurs, delete .jax_cache-*.)
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = [ln for ln in f if ln.startswith("flags")][0]
+    _cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+except (OSError, IndexError):
+    _cpu_key = "generic"
+jax.config.update("jax_compilation_cache_dir",
+                  f"/root/repo/.jax_cache-{_cpu_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
