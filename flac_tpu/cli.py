@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip samples at start: '#' or 'mm:ss.ss'")
     p.add_argument("--until",
                    help="stop at sample: '#', '+#', '-#' or '[+|-]mm:ss.ss'")
+    p.add_argument("--cuesheet", metavar="FILENAME",
+                   help="(encode) import cuesheet as a CUESHEET block")
+    p.add_argument("--cue", metavar="[#.#][-[#.#]]",
+                   help="(decode) section to decode by cuesheet track/index "
+                   "points, e.g. --cue=1.0-2.1")
+    p.add_argument("--replay-gain", action="store_true",
+                   help="(encode) compute and store ReplayGain tags")
     p.add_argument("--ogg", action="store_true",
                    help="use Ogg as transport layer (Ogg FLAC)")
     p.add_argument("--serial-number", type=int, default=0x464C4143,
@@ -208,13 +215,35 @@ def do_encode(args, path: str) -> int:
     else:
         out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
     extra = []
-    if args.tag:
+    if args.cuesheet:
+        from .cuesheet import CueSheetParseError, parse_cuesheet
+        is_cdda = (info.sample_rate == 44100 and info.channels == 2
+                   and info.bits_per_sample == 16)
+        try:
+            cue = parse_cuesheet(open(args.cuesheet).read(),
+                                 info.sample_rate, is_cdda,
+                                 samples.shape[1])
+        except CueSheetParseError as e:
+            raise SystemExit(f"{args.cuesheet}: {e}")
+        extra.append((cue.TYPE, cue.to_bytes()))
+    if args.tag or args.replay_gain:
         from . import metadata as md
         vc = md.VorbisCommentBlock()
         for t in args.tag:
             if "=" not in t:
                 raise SystemExit(f"bad tag (need FIELD=VALUE): {t}")
             vc.comments.append(t)
+        if args.replay_gain:
+            from . import replaygain as rg
+            if not rg.valid_sample_rate(info.sample_rate):
+                raise SystemExit(f"{path}: sample rate {info.sample_rate} "
+                                 "unsupported for --replay-gain")
+            an = rg.GainAnalyzer(info.sample_rate)
+            an.analyze_pcm(samples[:2], info.bits_per_sample)
+            gain = an.title_gain()
+            for k, v in rg.format_tags(gain, an.track_peak,
+                                       an.album_gain(), an.album_peak):
+                vc.comments.append(f"{k}={v}")
         extra.append((vc.TYPE, vc.to_bytes()))
     seektable = make_seektable(args, info.sample_rate, samples.shape[1]) \
         if out is not sys.stdout.buffer else None
@@ -242,12 +271,48 @@ def do_encode(args, path: str) -> int:
     return 0
 
 
+def resolve_cue_bounds(data: bytes, spec: str) -> tuple[int, int]:
+    """--cue=[#.#][-[#.#]]: section bounds from the embedded CUESHEET
+    (main.c --cue handling).  '#.#' is track.index; a missing index means
+    the track's first index; missing endpoints mean stream start/end."""
+    from . import format as fmt
+    from . import metadata as md
+    chain = md.Chain.read(data)
+    cue = chain.get(fmt.METADATA_TYPE_CUESHEET)
+    if cue is None:
+        raise SystemExit("--cue requires a CUESHEET block in the input")
+    lead_out = cue.tracks[-1].offset if cue.tracks else 0
+
+    def point(part: str, default: int) -> int:
+        if not part:
+            return default
+        tnum, _, inum = part.partition(".")
+        for t in cue.tracks:
+            if t.number == int(tnum):
+                if inum == "":
+                    return t.offset + (t.indices[0].offset if t.indices
+                                       else 0)
+                for ix in t.indices:
+                    if ix.number == int(inum):
+                        return t.offset + ix.offset
+                raise SystemExit(f"--cue: track {tnum} has no index {inum}")
+        raise SystemExit(f"--cue: no track number {tnum} in CUESHEET")
+
+    a, dash, b = spec.partition("-")
+    start = point(a, 0)
+    end = point(b, lead_out) if dash else lead_out
+    return start, end
+
+
 def do_decode(args, path: str) -> int:
     from . import container
     from .decoder import decode_stream_auto
     data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
     t0 = time.time()
     from . import ogg
+    if args.cue and not ogg.is_ogg(data):
+        start, end = resolve_cue_bounds(data, args.cue)
+        args.skip, args.until = str(start), str(end)
     if ogg.is_ogg(data):
         st = ogg.decode_ogg_flac(data)
         if args.skip or args.until:

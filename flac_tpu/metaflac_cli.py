@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--import-tags-from")
     p.add_argument("--import-picture-from")
     p.add_argument("--export-picture-to")
+    p.add_argument("--import-cuesheet-from")
+    p.add_argument("--export-cuesheet-to")
+    p.add_argument("--add-replay-gain", action="store_true")
+    p.add_argument("--scan-replay-gain", action="store_true")
+    p.add_argument("--remove-replay-gain", action="store_true")
     p.add_argument("--add-seekpoint", action="append", default=[])
     p.add_argument("--add-padding", type=int)
     p.add_argument("--remove", action="store_true")
@@ -110,6 +115,53 @@ def _vc(chain: md.Chain, create=True) -> md.VorbisCommentBlock | None:
     return vc
 
 
+def replay_gain_ops(args, paths: list[str]) -> int:
+    """Album-scoped ReplayGain (operations.c do_shorthand_operation__add_
+    replay_gain): all files on the command line form one album; per-track
+    gains/peaks plus a shared album gain/peak are written as tags."""
+    from . import replaygain as rg
+    from .ref_decoder import decode_stream
+
+    first_si = md.get_streaminfo(paths[0])
+    if not rg.valid_sample_rate(first_si.sample_rate):
+        print(f"{paths[0]}: unsupported sample rate "
+              f"{first_si.sample_rate} for ReplayGain", file=sys.stderr)
+        return 1
+    an = rg.GainAnalyzer(first_si.sample_rate)
+    results = []
+    for path in paths:
+        si = md.get_streaminfo(path)
+        if (si.sample_rate != first_si.sample_rate
+                or si.channels != first_si.channels
+                or si.bits_per_sample != first_si.bits_per_sample):
+            print(f"{path}: stream parameters differ across the album",
+                  file=sys.stderr)
+            return 1
+        st = decode_stream(open(path, "rb").read(), verify_md5=False)
+        an.next_track()
+        an.analyze_pcm(st.samples[:2], si.bits_per_sample)
+        results.append((path, an.title_gain(), an.track_peak))
+    album_gain = an.album_gain()
+    album_peak = an.album_peak
+    for path, gain, peak in results:
+        if args.scan_replay_gain:
+            print(f"{path}: track gain {gain:+.2f} dB, peak {peak:.8f}")
+            continue
+        chain = md.Chain.read_file(path)
+        vc = chain.get(fmt.METADATA_TYPE_VORBIS_COMMENT)
+        if vc is None:
+            vc = md.VorbisCommentBlock()
+            chain.blocks.insert(1, vc)
+        vc.comments = [c for c in vc.comments
+                       if not c.upper().startswith("REPLAYGAIN_")]
+        for k, v in rg.format_tags(gain, peak, album_gain, album_peak):
+            vc.comments.append(f"{k}={v}")
+        chain.write_file(path)
+    if args.scan_replay_gain and album_gain is not None:
+        print(f"album gain {album_gain:+.2f} dB, peak {album_peak:.8f}")
+    return 0
+
+
 def process_file(args, path: str) -> int:
     chain = md.Chain.read_file(path)
     si = chain.streaminfo
@@ -147,6 +199,14 @@ def process_file(args, path: str) -> int:
         if vc:
             vc.comments = []
             dirty = True
+    if args.remove_replay_gain:
+        vc = _vc(chain, create=False)
+        if vc:
+            kept = [c for c in vc.comments
+                    if not c.upper().startswith("REPLAYGAIN_")]
+            if len(kept) != len(vc.comments):
+                vc.comments = kept
+                dirty = True
     if args.export_tags_to:
         vc = _vc(chain, create=False)
         out = sys.stdout if args.export_tags_to == "-" else \
@@ -193,6 +253,39 @@ def process_file(args, path: str) -> int:
             return 1
         with open(args.export_picture_to, "wb") as f:
             f.write(pic.data)
+    if args.import_cuesheet_from:
+        from .cuesheet import CueSheetParseError, parse_cuesheet
+        src = sys.stdin if args.import_cuesheet_from == "-" else \
+            open(args.import_cuesheet_from)
+        is_cdda = si.sample_rate == 44100    # CD-DA when plausible,
+        # like metaflac's default (options.c: cuesheet import assumes CDDA
+        # unless sample rate forbids it)
+        try:
+            cue = parse_cuesheet(src.read(), si.sample_rate, is_cdda,
+                                 si.total_samples)
+        except CueSheetParseError as e:
+            print(f"{path}: {e}", file=sys.stderr)
+            return 1
+        finally:
+            if src is not sys.stdin:
+                src.close()
+        chain.blocks = [b for b in chain.blocks
+                        if b.TYPE != fmt.METADATA_TYPE_CUESHEET]
+        chain.blocks.insert(1, cue)
+        dirty = True
+    if args.export_cuesheet_to:
+        from .cuesheet import emit_cuesheet
+        cue = chain.get(fmt.METADATA_TYPE_CUESHEET)
+        if cue is None:
+            print(f"{path}: FLAC file has no CUESHEET block",
+                  file=sys.stderr)
+            return 1
+        text = emit_cuesheet(cue, f'"{path}" FLAC')
+        if args.export_cuesheet_to == "-":
+            sys.stdout.write(text)
+        else:
+            with open(args.export_cuesheet_to, "w") as f:
+                f.write(text)
     for spec in args.add_seekpoint:
         st = chain.get(fmt.METADATA_TYPE_SEEKTABLE)
         if st is None:
@@ -241,6 +334,8 @@ def process_file(args, path: str) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     rc = 0
+    if args.add_replay_gain or args.scan_replay_gain:
+        rc |= replay_gain_ops(args, args.files)
     for path in args.files:
         rc |= process_file(args, path)
     return rc

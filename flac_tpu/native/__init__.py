@@ -71,6 +71,9 @@ def _load():
     lib.ft_gather_frames.restype = ctypes.c_int64
     lib.ft_gather_frames.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.ft_iir.argtypes = [f64p, f64p, ctypes.c_int64, f64p, f64p,
+                           ctypes.c_int32]
     _lib = lib
     return lib
 
@@ -147,6 +150,31 @@ def scan_frames(data: bytes, start: int, stream_bps: int,
         d["header_end_bits"] = d["offset"] * 8 + d.pop("header_bits")
         frames.append(d)
     return frames
+
+
+def iir_filter(x: np.ndarray, b: np.ndarray, a: np.ndarray,
+               x_hist: np.ndarray, y_hist: np.ndarray):
+    """Direct-form IIR with explicit history (ReplayGain filter cascade).
+
+    x: [n] float64; b, a: [order+1] coefficients (a[0] ignored, == 1);
+    x_hist, y_hist: [order] trailing history from the previous call
+    (oldest first).  Returns (y [n], new_x_hist, new_y_hist).
+    """
+    order = len(b) - 1
+    n = len(x)
+    xp = np.concatenate([x_hist[-order:] if order else x_hist, x])
+    yp = np.empty(order + n, np.float64)
+    yp[:order] = y_hist[-order:]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    _lib.ft_iir(xp[order:].ctypes.data_as(f64p),
+                yp[order:].ctypes.data_as(f64p), n,
+                np.ascontiguousarray(b, np.float64).ctypes.data_as(f64p),
+                np.ascontiguousarray(a, np.float64).ctypes.data_as(f64p),
+                order)
+    if n >= order:
+        return yp[order:], xp[-order:].copy(), yp[-order:].copy()
+    return (yp[order:], np.concatenate([x_hist, x])[-order:],
+            yp[-order:].copy())
 
 
 def gather_frames(rows: np.ndarray, lens: np.ndarray) -> bytes:

@@ -360,4 +360,21 @@ int64_t ft_gather_frames(const uint8_t* rows, int64_t nrows, int64_t row_bytes,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Direct-form IIR filter (ReplayGain equal-loudness cascade)
+// ---------------------------------------------------------------------------
+
+// y[i] = b[0]*x[i] + sum_{k=1..order} (b[k]*x[i-k] - a[k]*y[i-k]).
+// x and y each carry `order` history samples BEFORE index 0 (caller pads /
+// threads state across calls), matching replaygain_analysis.c:258-297.
+void ft_iir(const double* x, double* y, int64_t n, const double* b,
+            const double* a, int32_t order) {
+  for (int64_t i = 0; i < n; i++) {
+    double acc = x[i] * b[0];
+    for (int32_t k = 1; k <= order; k++)
+      acc += x[i - k] * b[k] - y[i - k] * a[k];
+    y[i] = acc;
+  }
+}
+
 }  // extern "C"
