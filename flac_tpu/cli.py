@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "points, e.g. --cue=1.0-2.1")
     p.add_argument("--replay-gain", action="store_true",
                    help="(encode) compute and store ReplayGain tags")
+    p.add_argument("-V", "--verify", action="store_true",
+                   help="(encode) decode every frame while encoding and "
+                   "compare sample-exactly against the input")
+    p.add_argument("-F", "--decode-through-errors", action="store_true",
+                   help="(decode) continue through stream errors: resync "
+                   "on bad CRC, conceal lost frames with silence")
     p.add_argument("--ogg", action="store_true",
                    help="use Ogg as transport layer (Ogg FLAC)")
     p.add_argument("--serial-number", type=int, default=0x464C4143,
@@ -249,7 +255,7 @@ def do_encode(args, path: str) -> int:
         if out is not sys.stdout.buffer else None
     enc = StreamEncoder(out, cfg, batch_frames=args.batch_frames,
                         padding=args.padding, extra_metadata=extra,
-                        seektable=seektable)
+                        seektable=seektable, verify=args.verify)
     enc.process(samples)
     st = enc.finish()
     if args.ogg:
@@ -332,7 +338,11 @@ def do_decode(args, path: str) -> int:
         st = rd.st
         st.samples = pcm
     else:
-        st = decode_stream_auto(data)
+        st = decode_stream_auto(data,
+                                tolerant=args.decode_through_errors)
+        for err in getattr(st, "errors", []):
+            print(f"{path}: WARNING, error {err[0]} at {err[1]} "
+                  "(concealed)", file=sys.stderr)
     dt = time.time() - t0
     if args.test:
         if not args.silent:

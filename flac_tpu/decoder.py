@@ -337,6 +337,97 @@ def parse_frame_header(data: bytes, pos: int, st: DecodedStream):
         return None
 
 
+def skip_id3v2(data: bytes) -> int:
+    """Byte offset past a leading ID3v2 tag, 0 if none
+    (skip_id3v2_tag_, stream_decoder.c:2299-2320): 10-byte header with a
+    28-bit synchsafe size."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = 0
+    for b in data[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    return min(10 + size, len(data))
+
+
+def scan_frames_tolerant(data: bytes, st: DecodedStream, start: int):
+    """Resyncing frame scan: accepts a mid-stream first frame and frame-
+    number gaps (lost/corrupt frames), the scan-ahead equivalent of the
+    reference's SEARCH_FOR_FRAME_SYNC recovery loop (stream_decoder.c:
+    2321-2380, 2476-2480).
+
+    A candidate that breaks the expected numbering chain is only accepted
+    when a later CRC8-valid header continues from it (or it covers the
+    stream tail) — scan-ahead confirmation replaces the reference's
+    decode-then-CRC16 rejection of false sync patterns.
+    """
+    arr = np.frombuffer(data, np.uint8)
+    cand = np.where((arr[:-1] == 0xFF) & ((arr[1:] & 0xFC) == 0xF8))[0]
+    cand = cand[cand >= start]
+    headers = {}
+
+    def hdr_at(pos):
+        if pos not in headers:
+            headers[pos] = parse_frame_header(data, int(pos), st)
+        return headers[pos]
+
+    def next_number(h):
+        return (h["number"] + 1 if not h["variable"]
+                else h["number"] + h["blocksize"])
+
+    def confirmed(pos, h):
+        """A later candidate chains from h, or h plausibly reaches EOF."""
+        i0 = int(np.searchsorted(cand, pos + 10))
+        for q in cand[i0:i0 + 512]:
+            if q > pos + (1 << 20):
+                break
+            h2 = hdr_at(q)
+            if h2 is not None and h2["number"] == next_number(h):
+                return True
+        # tail frame: minimal sanity — it must fit a subframe + CRC
+        return len(data) - pos >= 10 and \
+            len(data) - pos < h["blocksize"] * h["channels"] * 5 + 1024
+
+    frames = []
+    expected = None
+    for pos in cand:
+        if frames and pos < frames[-1]["offset"] + 10:
+            continue
+        h = hdr_at(pos)
+        if h is None:
+            continue
+        if expected is None or h["number"] != expected:
+            in_future = (expected is None or h["number"] > expected)
+            if not (in_future and confirmed(pos, h)):
+                continue
+        frames.append(h)
+        expected = next_number(h)
+    for i, f in enumerate(frames):
+        end = frames[i + 1]["offset"] if i + 1 < len(frames) else len(data)
+        f["size"] = end - f["offset"]
+    return frames
+
+
+def stream_params_from_frames(data: bytes, start: int) -> DecodedStream:
+    """Bootstrap stream parameters from the first valid frame header —
+    decoding streams with no STREAMINFO (stream_decoder.c:2712-2718).
+    Frames must carry explicit bps and sample-rate codes."""
+    st = DecodedStream()
+    st.bits_per_sample = 0
+    st.sample_rate = 0
+    arr = np.frombuffer(data, np.uint8)
+    cand = np.where((arr[:-1] == 0xFF) & ((arr[1:] & 0xFC) == 0xF8))[0]
+    for pos in cand[cand >= start]:
+        h = parse_frame_header(data, int(pos), st)
+        if h is not None:
+            st.sample_rate = h["sample_rate"]
+            st.channels = h["channels"]
+            st.bits_per_sample = h["bps"]
+            st.total_samples = 0
+            st.md5 = b"\x00" * 16
+            return st
+    raise FlacDecodeError("no valid frame header found in stream")
+
+
 def scan_frames(data: bytes, st: DecodedStream, start: int):
     """Locate all frames via vectorized sync search + header verification.
 
@@ -387,13 +478,19 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
 
 def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
                       *, verify_crc: bool = True,
-                      max_batch: int = 512) -> list[np.ndarray]:
+                      max_batch: int = 512,
+                      on_crc_error: str = "raise") -> list[np.ndarray]:
     """Batched device decode of an explicit frame-header list.
 
     Each entry needs offset/size/assignment/bps/channels/blocksize (as
     produced by scan_frames).  Returns per-frame [C, N] int32 arrays in
     list order.  Frames are grouped by shape so each distinct
     (blocksize, channels) compiles once.
+
+    on_crc_error: "raise" aborts on the first CRC-16 mismatch; "drop"
+    leaves the bad frame's slot as None and records the frame number in
+    st.errors — the resync-and-continue behavior of the reference
+    (stream_decoder.c:2476-2480, error callback + SEARCH_FOR_FRAME_SYNC).
     """
     results: list[np.ndarray | None] = [None] * len(frames)
     # group equal-shape frames for batched decode
@@ -433,32 +530,42 @@ def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
             if channels == 2:
                 sig = _undo_stereo(sig, jnp.asarray(asg))
             if verify_crc:
-                lens = jnp.asarray(
-                    np.array([frames[i]["size"] for i in batch], np.int32))
-                words = jnp.asarray(np.ascontiguousarray(buf).view(">u4")
-                                    .astype(np.uint32))
-                # zero out the CRC16 itself? crc over [0, size-2) then
-                # compare with stored big-endian 16 bits
+                # the ACTUAL frame extent comes from the decode cursor
+                # (last subframe end -> byte-align -> 2 CRC bytes), not the
+                # scan span: a lost next-header inflates the scan span and
+                # must not shift where this frame's CRC16 is read
+                sizes = ((np.asarray(end_bits) + 7) // 8) + 2
+                scan_sizes = np.array(
+                    [frames[i]["size"] for i in batch], np.int64)
+                sizes = np.minimum(sizes, scan_sizes)    # truncation guard
                 stored = np.array(
                     [int.from_bytes(
-                        data[frames[i]["offset"] + frames[i]["size"] - 2:
-                             frames[i]["offset"] + frames[i]["size"]], "big")
-                     for i in batch], np.uint32)
-                # mask bytes beyond each frame before CRC (padding is zero
-                # already except the stored CRC bytes themselves)
+                        bytes(buf[j, sizes[j] - 2:sizes[j]]), "big")
+                     for j in range(B)], np.uint32)
+                # mask bytes beyond each frame's CRC region before CRC
                 bufm = buf.copy()
-                for j, i in enumerate(batch):
-                    bufm[j, frames[i]["size"] - 2:] = 0
+                for j in range(B):
+                    bufm[j, sizes[j] - 2:] = 0
                 wordsm = jnp.asarray(np.ascontiguousarray(bufm).view(">u4")
                                      .astype(np.uint32))
-                got = np.asarray(bitpack.crc16_words(wordsm, lens - 2))
-                bad = np.nonzero(got != stored)[0]
-                if len(bad):
+                got = np.asarray(bitpack.crc16_words(
+                    wordsm, jnp.asarray(sizes.astype(np.int32)) - 2))
+                bad = set(np.nonzero(got != stored)[0].tolist())
+                if bad and on_crc_error == "raise":
+                    j = min(bad)
                     raise FlacDecodeError(
                         f"frame CRC16 mismatch at frame "
-                        f"{frames[batch[bad[0]]]['number']}")
+                        f"{frames[batch[j]]['number']}")
+            else:
+                bad = set()
             sig_np = np.asarray(sig)
             for j, i in enumerate(batch):
+                if j in bad:
+                    if not hasattr(st, "errors"):
+                        st.errors = []
+                    st.errors.append(
+                        ("FRAME_CRC_MISMATCH", frames[i]["number"]))
+                    continue
                 results[i] = sig_np[j].astype(np.int32)
     return results
 
@@ -471,35 +578,96 @@ def decode_frames_selected(data: bytes, st: DecodedStream,
 
 def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
                       verify_crc: bool = True,
-                      max_batch: int = 512) -> DecodedStream:
-    """Full stream decode with batched device subframe decoding."""
-    if data[:4] != fmt.STREAM_SYNC_STRING:
+                      max_batch: int = 512,
+                      tolerant: bool = False) -> DecodedStream:
+    """Full stream decode with batched device subframe decoding.
+
+    tolerant=True enables the reference's error-recovery behaviors
+    (`flac -F` + stream_decoder.c resilience): leading ID3v2 skip
+    (:2299), streams without a fLaC marker / STREAMINFO (:2712-2718),
+    a mid-stream first frame, CRC-mismatch resync (:2476-2480), and
+    silence insertion for missing frames (:2484-2520) with the same
+    5-second / 50-frame repair cap.  Recovered errors are listed in
+    st.errors; MD5 mismatch then marks st.md5_ok instead of raising.
+    """
+    head = skip_id3v2(data)
+    if head and not tolerant:
+        data = data[head:]
+        head = 0
+    if data[head:head + 4] == fmt.STREAM_SYNC_STRING:
+        st, pos = parse_metadata(data, head + 4)
+    elif tolerant:
+        st = stream_params_from_frames(data, head)
+        pos = head
+    else:
         raise FlacDecodeError("missing fLaC marker")
-    st, pos = parse_metadata(data, 4)
-    frames = scan_frames(data, st, pos)
+    frames = scan_frames_tolerant(data, st, pos) if tolerant else \
+        scan_frames(data, st, pos)
     st.frames = frames
+    st.errors = []
     if not frames:
-        st.samples = np.zeros((st.channels, 0), np.int32)
+        st.samples = np.zeros((max(st.channels, 1), 0), np.int32)
         return st
 
-    results = decode_frame_list(data, st, frames, verify_crc=verify_crc,
-                                max_batch=max_batch)
-    st.samples = np.concatenate(results, axis=1) if results else \
-        np.zeros((st.channels, 0), np.int32)
+    results = decode_frame_list(
+        data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
+        on_crc_error="drop" if tolerant else "raise")
+
+    if tolerant:
+        st.samples = _assemble_with_concealment(st, frames, results)
+    else:
+        st.samples = np.concatenate(results, axis=1) if results else \
+            np.zeros((st.channels, 0), np.int32)
     if st.total_samples:
         st.samples = st.samples[:, :st.total_samples]
+    st.md5_ok = True
     if verify_md5 and st.md5 != b"\x00" * 16:
         from .encoder import interleave_for_md5
         got = hashlib.md5(interleave_for_md5(
             st.samples, st.bits_per_sample)).digest()
         if got != st.md5:
-            raise FlacDecodeError("stream MD5 mismatch")
+            if tolerant:
+                st.md5_ok = False
+                st.errors.append(("MD5_MISMATCH", None))
+            else:
+                raise FlacDecodeError("stream MD5 mismatch")
     return st
+
+
+def _assemble_with_concealment(st: DecodedStream, frames: list,
+                               results: list) -> np.ndarray:
+    """Place decoded frames on the sample timeline; fill gaps (missing or
+    CRC-dropped frames) with silence, capped like the reference at
+    min(5 s, 50 frames) per gap (stream_decoder.c:2505-2520)."""
+    C = frames[0]["channels"]
+    rate = frames[0]["sample_rate"] or st.sample_rate
+    pieces = []
+    expected_start = None
+    for f, sig in zip(frames, results):
+        start = (f["number"] if f["variable"]
+                 else f["number"] * frames[0]["blocksize"])
+        if expected_start is None:
+            expected_start = start
+        if start > expected_start:
+            gap = start - expected_start
+            cap = min(5 * max(rate, 1), 50 * frames[0]["blocksize"])
+            fill = min(gap, cap)
+            st.errors.append(("MISSING_FRAME", expected_start))
+            pieces.append(np.zeros((C, fill), np.int32))
+            expected_start = start
+        if sig is None:                      # CRC-dropped: conceal
+            pieces.append(np.zeros((C, f["blocksize"]), np.int32))
+        else:
+            pieces.append(sig)
+        expected_start += f["blocksize"]
+    return np.concatenate(pieces, axis=1) if pieces else \
+        np.zeros((C, 0), np.int32)
 
 
 def decode_stream_auto(data: bytes, **kw) -> DecodedStream:
     """Container-sniffing decode: native FLAC or Ogg FLAC by magic."""
     from .ogg import decode_ogg_flac, is_ogg
     if is_ogg(data):
+        kw.pop("tolerant", None)    # Ogg layer has its own CRC resync
         return decode_ogg_flac(data, **kw)
     return decode_stream_tpu(data, **kw)

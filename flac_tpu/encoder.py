@@ -166,10 +166,11 @@ class StreamEncoder:
 
     def __init__(self, out, cfg: EncoderConfig, *, batch_frames: int = 64,
                  padding: int = 4096, extra_metadata: list | None = None,
-                 seektable=None):
+                 seektable=None, verify: bool = False):
         self.out = out
         self.cfg = cfg.resolve()
         self.batch_frames = batch_frames
+        self.verify = verify
         self.blocksize = self.cfg.blocksize
         self._buf = np.zeros((self.cfg.channels, 0), np.int32)
         self._frame_number = 0
@@ -263,6 +264,8 @@ class StreamEncoder:
                 f"bytes > {words.shape[1] * 4} (encoder bug)")
         wbytes = words.astype(">u4").view(np.uint8).reshape(
             words.shape[0], -1)
+        if self.verify:
+            self._verify_batch(blocks, wbytes, lens, N)
         if self._seektable is not None:
             base = self.out.tell() - self._first_frame_offset
             offs = base + np.concatenate([[0], np.cumsum(lens[:-1])])
@@ -280,6 +283,47 @@ class StreamEncoder:
         self._info.max_framesize = max(self._info.max_framesize,
                                        int(lens.max()))
         self._frame_number += words.shape[0]
+
+    def _verify_batch(self, blocks: np.ndarray, wbytes: np.ndarray,
+                      lens: np.ndarray, N: int):
+        """Encoder verify loopback (`-V`, stream_encoder.c:1287-1325,
+        2334-2352): decode every emitted frame and compare sample-exactly
+        against the input before any byte reaches the output."""
+        from .decoder import decode_frame_list, parse_frame_header
+        from .ref_decoder import DecodedStream
+        B = wbytes.shape[0]
+        blob = b"".join(wbytes[i, :int(lens[i])].tobytes()
+                        for i in range(B))
+        st = DecodedStream()
+        st.sample_rate = self.cfg.sample_rate
+        st.channels = self.cfg.channels
+        st.bits_per_sample = self.cfg.bits_per_sample
+        # frame boundaries are exactly the emitted lengths — parse each
+        # header in place rather than re-scanning for sync
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        frames = []
+        for i in range(B):
+            h = parse_frame_header(blob, int(offs[i]), st)
+            if h is None:
+                raise RuntimeError(
+                    f"verify: emitted frame {self._frame_number + i} has "
+                    "an invalid header (encoder bug)")
+            h["size"] = int(lens[i])
+            frames.append(h)
+        from .ref_decoder import FlacDecodeError
+        try:
+            decoded = decode_frame_list(blob, st, frames)
+        except FlacDecodeError as e:
+            raise RuntimeError(
+                f"verify: emitted frames fail to decode ({e}; stream NOT "
+                "written)") from e
+        for i, sig in enumerate(decoded):
+            if not np.array_equal(sig, blocks[i]):
+                bad = np.nonzero(sig != blocks[i])
+                raise RuntimeError(
+                    "verify mismatch in audio data: frame "
+                    f"{self._frame_number + i}, channel {int(bad[0][0])}, "
+                    f"sample {int(bad[1][0])} (stream NOT written)")
 
     def _resolve_seektable(self):
         """Fill template points with real frame positions (the encoder-side
