@@ -134,10 +134,28 @@ def encode_file_ranges(blocks: np.ndarray, cfg: EncoderConfig,
         else:
             my_blob = b"".join(wbytes[i, :int(lens[i])].tobytes()
                                for i in range(words.shape[0]))
-    if num_hosts > 1:
+    if num_hosts > 1 and jax.process_count() == num_hosts:
+        # real multi-host: per-range byte lengths are the only DCN traffic
         from jax.experimental import multihost_utils
         all_lens = np.asarray(multihost_utils.process_allgather(
             np.array([len(my_blob)], np.int64))).reshape(-1)
+    elif num_hosts > 1:
+        # single-process simulation (host_id/num_hosts injected): a real
+        # allgather would see only ONE process and mis-splice — compute
+        # every range's byte length locally instead.  Frame bytes are
+        # deterministic and topology-invariant (tests/test_shard.py), so
+        # these lengths equal what the real hosts would report.
+        mesh = mesh or data_mesh(jax.local_devices())
+        all_lens = np.zeros(num_hosts, np.int64)
+        for h in range(num_hosts):
+            l, r = h * per, min((h + 1) * per, B)
+            if l >= r:
+                continue
+            if h == host_id:
+                all_lens[h] = len(my_blob)
+            else:
+                _, lens_h = encode_blocks_dp(blocks[l:r], l, cfg, mesh)
+                all_lens[h] = int(lens_h.astype(np.int64).sum())
     else:
         all_lens = np.array([len(my_blob)], np.int64)
     my_offset = int(all_lens[:host_id].sum())

@@ -91,9 +91,12 @@ if O > 0:
 
     orders = np.arange(1, O + 1)
     lpc_mode = "i32" if cfg.max_subframe_bps <= 17 else "f64"
-    f_res = lambda xx, q, s: lpc_ops.lpc_residual_all_orders(
-        xx, q[:, :, 0], s[:, :, 0], orders, lpc_mode)
-    res, ok = timeit("  lpc_residual_all_orders (1 apod)", f_res, xc, qc, qs)
+    bps_arr = jnp.full(xc.shape[:2], cfg.max_subframe_bps, jnp.int32)
+    ord_b = jnp.broadcast_to(jnp.asarray(orders, jnp.int32),
+                             xc.shape[:2] + (O,))
+    f_res = lambda xx, q, s: lpc_ops.lpc_residual(
+        xx, q[:, :, 0], s[:, :, 0], ord_b, bps_arr, lpc_mode)
+    res, ok = timeit("  lpc_residual all orders (1 apod)", f_res, xc, qc, qs)
     res = jax.device_put(res)
 
     max_po = 6
