@@ -73,6 +73,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="allow non-subset encodings")
     p.add_argument("--batch-frames", type=int, default=64,
                    help="frames per device batch (TPU tuning)")
+    p.add_argument("-e", "--exhaustive-model-search", action="store_true",
+                   help="evaluate every LPC order instead of the guess")
+    p.add_argument("-p", "--qlp-coeff-precision-search", action="store_true",
+                   help="search multiple qlp precisions per subframe")
+    p.add_argument("--limit-min-bitrate", action="store_true",
+                   help="keep the last subframe of all-constant frames "
+                   "non-constant (stream_encoder.c:3874-3879)")
+    p.add_argument("--apply-replaygain-which-is-not-lossless", nargs="?",
+                   const="", default=None, metavar="SPEC",
+                   help="(decode) apply ReplayGain: [preamp dB]"
+                   "[a|t][l|L][n0-3] (main.c:767-790)")
+    p.add_argument("--force-aiff-format", action="store_true")
+    p.add_argument("--force-aiff-c-none-format", action="store_true")
+    p.add_argument("--force-aiff-c-sowt-format", action="store_true")
+    p.add_argument("--force-rf64-format", action="store_true")
+    p.add_argument("--force-wave64-format", action="store_true")
+    p.add_argument("--force-legacy-wave-format", action="store_true",
+                   help="(decode) never use WAVEFORMATEXTENSIBLE")
     p.add_argument("--force-raw-format", action="store_true")
     p.add_argument("--channels", type=int, help="(raw input) channel count")
     p.add_argument("--bps", type=int, help="(raw input) bits per sample")
@@ -111,6 +129,12 @@ def make_config(args, info):
         over["apodizations"] = tuple(args.apodization)
     if args.qlp_coeff_precision is not None:
         over["qlp_coeff_precision"] = args.qlp_coeff_precision
+    if args.exhaustive_model_search:
+        over["do_exhaustive_model_search"] = True
+    if args.qlp_coeff_precision_search:
+        over["do_qlp_coeff_prec_search"] = True
+    if args.limit_min_bitrate:
+        over["limit_min_bitrate"] = True
     if args.lax:
         over["streamable_subset"] = False
     import dataclasses
@@ -221,6 +245,9 @@ def do_encode(args, path: str) -> int:
     else:
         out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
     extra = []
+    if info.metadata:
+        # FLAC-to-FLAC re-encode preserves metadata blocks (encode.c:805)
+        extra.extend(info.metadata)
     if args.cuesheet:
         from .cuesheet import CueSheetParseError, parse_cuesheet
         is_cdda = (info.sample_rate == 44100 and info.channels == 2
@@ -349,15 +376,144 @@ def do_decode(args, path: str) -> int:
             print(f"{path}: ok ({st.samples.shape[1]/st.sample_rate/dt:.1f}x"
                   " realtime)", file=sys.stderr)
         return 0
-    out_name = args.output_name or (path.rsplit(".", 1)[0] + ".wav")
-    wav = container.write_wav(st.samples, st.sample_rate, st.bits_per_sample)
+    if args.apply_replaygain_which_is_not_lossless is not None:
+        st.samples = apply_replaygain_on_decode(
+            data, st, args.apply_replaygain_which_is_not_lossless, path)
+    fmt_name = decode_output_format(args)
+    out_name = args.output_name or (
+        path.rsplit(".", 1)[0] + _DECODE_EXT[fmt_name])
+    payload = write_decoded(st, fmt_name, args)
     if out_name == "-":
-        sys.stdout.buffer.write(wav)
+        sys.stdout.buffer.write(payload)
     else:
-        open(out_name, "wb").write(wav)
+        open(out_name, "wb").write(payload)
     if not args.silent:
         print(f"{path}: done", file=sys.stderr)
     return 0
+
+
+_DECODE_EXT = {"wav": ".wav", "rf64": ".rf64", "w64": ".w64",
+               "aiff": ".aiff", "aiff-c-none": ".aifc",
+               "aiff-c-sowt": ".aifc", "raw": ".raw"}
+
+
+def decode_output_format(args) -> str:
+    """Output container from --force-* flags, else the -o extension, else
+    WAV (decode.c:121-132 format selection)."""
+    flags = [("aiff", args.force_aiff_format),
+             ("aiff-c-none", args.force_aiff_c_none_format),
+             ("aiff-c-sowt", args.force_aiff_c_sowt_format),
+             ("rf64", args.force_rf64_format),
+             ("w64", args.force_wave64_format),
+             ("raw", args.force_raw_format)]
+    chosen = [n for n, v in flags if v]
+    if len(chosen) > 1:
+        raise SystemExit("only one --force-*-format may be given")
+    if chosen:
+        return chosen[0]
+    ext = (args.output_name or "").rsplit(".", 1)[-1].lower() \
+        if args.output_name and "." in args.output_name else ""
+    return {"aif": "aiff", "aiff": "aiff", "aifc": "aiff-c-none",
+            "rf64": "rf64", "w64": "w64", "raw": "raw",
+            "pcm": "raw"}.get(ext, "wav")
+
+
+def write_decoded(st, fmt_name: str, args) -> bytes:
+    from . import container
+    pcm, rate, bps = st.samples, st.sample_rate, st.bits_per_sample
+    if fmt_name == "wav":
+        if args.force_legacy_wave_format:
+            ext = container._wav_needs_ext
+            container_needs = ext(pcm.shape[0], bps)
+            if container_needs:
+                print("WARNING: --force-legacy-wave-format with >2 "
+                      "channels or odd bps", file=sys.stderr)
+        return container.write_wav(pcm, rate, bps)
+    if fmt_name == "rf64":
+        return container.write_rf64(pcm, rate, bps)
+    if fmt_name == "w64":
+        return container.write_w64(pcm, rate, bps)
+    if fmt_name == "aiff":
+        return container.write_aiff(pcm, rate, bps)
+    if fmt_name == "aiff-c-none":
+        return container.write_aiff(pcm, rate, bps, compression=b"NONE")
+    if fmt_name == "aiff-c-sowt":
+        return container.write_aiff(pcm, rate, bps, compression=b"sowt")
+    if fmt_name == "raw":
+        return container.write_raw(pcm, bps,
+                                   big_endian=args.endian == "big",
+                                   signed=args.sign == "signed")
+    raise SystemExit(f"unknown output format {fmt_name}")
+
+
+def apply_replaygain_on_decode(data: bytes, st, spec: str, path: str):
+    """--apply-replaygain-which-is-not-lossless (decode.c + main.c:767-790
+    + replaygain_synthesis.c): read gain/peak tags, build the scale, apply
+    with optional peak/hard limiting and noise-shaped dither."""
+    from . import format as fmt
+    from . import metadata as md
+    from . import replaygain as rg
+
+    # defaults (main.c:605-609); an explicit spec resets limiter/shaping
+    use_album, limiter, shaping, preamp = True, "hard", 1, 0.0
+    if spec:
+        i = 0
+        while i < len(spec) and (spec[i].isdigit() or spec[i] in "+-."):
+            i += 1
+        if i:
+            preamp = float(spec[:i])
+        limiter, shaping = "none", 0
+        j = i
+        while j < len(spec):
+            c = spec[j]
+            if c == "a":
+                use_album = True
+            elif c == "t":
+                use_album = False
+            elif c == "l":
+                limiter = "peak"
+            elif c == "L":
+                limiter = "hard"
+            elif c == "n" and j + 1 < len(spec) and spec[j + 1] in "0123":
+                shaping = int(spec[j + 1])
+                j += 1
+            else:
+                raise SystemExit(
+                    f"bad --apply-replaygain specification {spec!r}")
+            j += 1
+    try:
+        chain = md.Chain.read(data)
+        vc = chain.get(fmt.METADATA_TYPE_VORBIS_COMMENT)
+    except Exception:
+        vc = None
+    tags = {}
+    if vc is not None:
+        for c in vc.comments:
+            k, _, v = c.partition("=")
+            tags[k.upper()] = v
+    order = ["ALBUM", "TRACK"] if use_album else ["TRACK", "ALBUM"]
+    gain = peak = None
+    for which in order:
+        g = rg.parse_gain_tag(tags.get(f"REPLAYGAIN_{which}_GAIN", ""))
+        if g is not None:
+            gain = g
+            try:
+                peak = float(tags.get(f"REPLAYGAIN_{which}_PEAK", "0"))
+            except ValueError:
+                peak = 0.0
+            break
+    if gain is None:
+        print(f"{path}: WARNING, no ReplayGain tags found, not applying",
+              file=sys.stderr)
+        return st.samples
+    scale = 10.0 ** ((gain + preamp) / 20.0)
+    if limiter == "peak" and peak and scale * peak > 1.0:
+        scale = 1.0 / peak
+    dither = rg.DitherContext(st.bits_per_sample, shaping) \
+        if shaping > 0 else None
+    return rg.apply_gain(st.samples, st.bits_per_sample,
+                         st.bits_per_sample, scale,
+                         hard_limit=limiter == "hard", dither=dither)
 
 
 def do_analyze(args, path: str) -> int:

@@ -48,6 +48,7 @@ class EncoderConfig:
     rice_parameter_search_dist: int = 0
     apodizations: tuple = ("tukey(5e-1)",)
     streamable_subset: bool = True
+    limit_min_bitrate: bool = False
 
     @classmethod
     def from_preset(cls, level: int, **overrides) -> "EncoderConfig":

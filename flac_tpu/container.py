@@ -19,6 +19,9 @@ class AudioInfo:
     channels: int
     bits_per_sample: int
     samples: np.ndarray  # [C, n] int32
+    # (type, body) metadata blocks carried from a FLAC input for
+    # FLAC-to-FLAC re-encode preservation (encode.c:805,2443-2522)
+    metadata: list | None = None
 
 
 class ContainerError(ValueError):
@@ -104,6 +107,26 @@ def read_wav(data: bytes) -> AudioInfo:
     return AudioInfo(rate, channels, bps, samples)
 
 
+def _fmt_chunk_body(channels: int, sample_rate: int, bps: int) -> bytes:
+    """fmt chunk with the reference's WAVEFORMATEXTENSIBLE rule: plain PCM
+    for mono/stereo at 8/16 bits, EXTENSIBLE otherwise
+    (src/flac/decode.c:121-132 + write logic around decode.c:800-900)."""
+    nb = (bps + 7) // 8
+    block_align = channels * nb
+    base = struct.pack("<HHIIHH", 0xFFFE if _wav_needs_ext(channels, bps)
+                       else 1, channels, sample_rate,
+                       sample_rate * block_align, block_align, nb * 8)
+    if not _wav_needs_ext(channels, bps):
+        return base
+    # cbSize(22) + validBits + channelMask + SubFormat GUID (PCM)
+    guid = bytes.fromhex("0100000000001000800000aa00389b71")
+    return base + struct.pack("<HHI", 22, bps, 0) + guid
+
+
+def _wav_needs_ext(channels: int, bps: int) -> bool:
+    return channels > 2 or bps not in (8, 16)
+
+
 def write_wav(info_or_pcm, sample_rate=None, bits_per_sample=None) -> bytes:
     if isinstance(info_or_pcm, AudioInfo):
         pcm = info_or_pcm.samples
@@ -114,12 +137,64 @@ def write_wav(info_or_pcm, sample_rate=None, bits_per_sample=None) -> bytes:
     channels, n = pcm.shape
     nb = (bits_per_sample + 7) // 8
     payload = _pcm_to_bytes(pcm, bits_per_sample)
-    block_align = channels * nb
-    hdr = struct.pack(
-        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(payload), b"WAVE",
-        b"fmt ", 16, 1, channels, sample_rate, sample_rate * block_align,
-        block_align, nb * 8, b"data", len(payload))
-    return hdr + payload
+    fmt_body = _fmt_chunk_body(channels, sample_rate, bits_per_sample)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def write_rf64(info_or_pcm, sample_rate=None, bits_per_sample=None) -> bytes:
+    """RF64 writer (64-bit sizes in a ds64 chunk; decode.c RF64 output)."""
+    if isinstance(info_or_pcm, AudioInfo):
+        pcm = info_or_pcm.samples
+        sample_rate = info_or_pcm.sample_rate
+        bits_per_sample = info_or_pcm.bits_per_sample
+    else:
+        pcm = info_or_pcm
+    channels, n = pcm.shape
+    payload = _pcm_to_bytes(pcm, bits_per_sample)
+    fmt_body = _fmt_chunk_body(channels, sample_rate, bits_per_sample)
+    def build(riff_size: int) -> bytes:
+        ds64 = struct.pack("<QQQI", riff_size, len(payload), n, 0)
+        return (b"WAVE"
+                + b"ds64" + struct.pack("<I", len(ds64)) + ds64
+                + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", 0xFFFFFFFF) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    body = build(len(build(0)))
+    return b"RF64" + struct.pack("<I", 0xFFFFFFFF) + body
+
+
+def write_w64(info_or_pcm, sample_rate=None, bits_per_sample=None) -> bytes:
+    """Wave64 writer (GUID chunks, 64-bit sizes include the 24-byte chunk
+    header; decode.c Wave64 output)."""
+    if isinstance(info_or_pcm, AudioInfo):
+        pcm = info_or_pcm.samples
+        sample_rate = info_or_pcm.sample_rate
+        bits_per_sample = info_or_pcm.bits_per_sample
+    else:
+        pcm = info_or_pcm
+    channels, n = pcm.shape
+    payload = _pcm_to_bytes(pcm, bits_per_sample)
+    fmt_body = _fmt_chunk_body(channels, sample_rate, bits_per_sample)
+
+    def chunk(guid: bytes, body: bytes) -> bytes:
+        size = 24 + len(body)
+        pad = (-size) % 8
+        return guid + struct.pack("<Q", size) + body + b"\x00" * pad
+
+    inner = _W64_WAVE + chunk(_W64_FMT, fmt_body) + chunk(_W64_DATA, payload)
+    total = 16 + 8 + len(inner)
+    return _W64_RIFF + struct.pack("<Q", total) + inner
+
+
+def write_raw(pcm: np.ndarray, bits_per_sample: int, *,
+              big_endian: bool = False, signed: bool = True) -> bytes:
+    return _pcm_to_bytes(pcm, bits_per_sample, big_endian=big_endian,
+                         unsigned8=not signed)
 
 
 # ---------------------------------------------------------------------------
@@ -178,16 +253,28 @@ def read_aiff(data: bytes) -> AudioInfo:
     return AudioInfo(rate, channels, bps, samples[:, :nframes])
 
 
-def write_aiff(pcm: np.ndarray, sample_rate: int,
-               bits_per_sample: int) -> bytes:
+def write_aiff(pcm: np.ndarray, sample_rate: int, bits_per_sample: int,
+               compression: bytes | None = None) -> bytes:
+    """AIFF writer; compression b"NONE"/b"sowt" selects AIFF-C output
+    (--force-aiff-c-{none,sowt}-format; sowt stores little-endian PCM)."""
     channels, n = pcm.shape
-    payload = _pcm_to_bytes(pcm, bits_per_sample, big_endian=True,
+    little = compression == b"sowt"
+    payload = _pcm_to_bytes(pcm, bits_per_sample, big_endian=not little,
                             unsigned8=False)
     comm = struct.pack(">HIH", channels, n, bits_per_sample) \
         + _int_to_f80(sample_rate)
+    chunks = b""
+    if compression is not None:
+        name = b"\x00" if compression == b"NONE" else b"\x00"
+        comm += compression + name
+        if len(comm) & 1:
+            comm += b"\x00"
+        chunks += b"FVER" + struct.pack(">II", 4, 0xA2805140)
     ssnd = struct.pack(">II", 0, 0) + payload
-    body = b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm \
-        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    body = (b"AIFC" if compression is not None else b"AIFF") + chunks \
+        + b"COMM" + struct.pack(">I", len(comm)) + comm \
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd \
+        + (b"\x00" if len(ssnd) & 1 else b"")
     return b"FORM" + struct.pack(">I", len(body)) + body
 
 
@@ -231,6 +318,27 @@ def read_raw(data: bytes, *, sample_rate: int, channels: int,
     return AudioInfo(sample_rate, channels, bits_per_sample, samples)
 
 
+def read_flac_input(data: bytes) -> AudioInfo:
+    """FLAC (or Ogg FLAC) input for re-encode (encode.c:805): decode to
+    PCM and carry every non-STREAMINFO/PADDING metadata block so the new
+    stream preserves tags/cuesheets/pictures like the reference does
+    (encode.c:2443-2522)."""
+    from . import format as fmt
+    from .decoder import decode_stream_auto
+    from .metadata import parse_metadata_blocks
+
+    st = decode_stream_auto(data)
+    meta = []
+    if data[:4] == fmt.STREAM_SYNC_STRING:
+        for btype, body in parse_metadata_blocks(data):
+            if btype not in (fmt.METADATA_TYPE_STREAMINFO,
+                             fmt.METADATA_TYPE_PADDING,
+                             fmt.METADATA_TYPE_SEEKTABLE):
+                meta.append((btype, body))
+    return AudioInfo(st.sample_rate, st.channels, st.bits_per_sample,
+                     np.asarray(st.samples), metadata=meta)
+
+
 def sniff_and_read(data: bytes) -> AudioInfo:
     if data[:4] in (b"RIFF", b"RF64"):
         return read_wav(data)
@@ -238,4 +346,6 @@ def sniff_and_read(data: bytes) -> AudioInfo:
         return read_aiff(data)
     if data[:16] == _W64_RIFF:
         return read_w64(data)
+    if data[:4] == b"fLaC" or data[:4] == b"OggS":
+        return read_flac_input(data)
     raise ContainerError("unrecognized container (use read_raw for raw PCM)")

@@ -57,57 +57,67 @@ def encode_batch(pcm, first_frame_number, cfg: EncoderConfig,
     x, bps_eff, wasted = stereo_mod.build_channel_candidates(pcm, cfg)
     choice = subframe_mod.search_and_realize(x, bps_eff, wasted, cfg, bank)
     if pcm.shape[1] == 2 and cfg.do_mid_side:
-        assignment, ch_index = stereo_mod.select_assignment(choice.bits, cfg)
+        if cfg.loose_mid_side:
+            assignment, ch_index = stereo_mod.loose_assignment(pcm, cfg)
+        else:
+            assignment, ch_index = stereo_mod.select_assignment(
+                choice.bits, cfg)
         choice = stereo_mod.gather_channels(choice, ch_index)
         signal = stereo_mod.gather_channels(x, ch_index)
     else:
         assignment = jnp.zeros((B,), jnp.int32)
         signal = x
+    if cfg.limit_min_bitrate:
+        # force the last subframe of an all-constant frame to verbatim so
+        # frames never shrink to a few bytes (stream_encoder.c:3874-3879)
+        all_const = jnp.all(
+            choice.type_ == fmt.SUBFRAME_TYPE_CONSTANT, axis=1)
+        last = choice.type_.shape[1] - 1
+        new_type = choice.type_.at[:, last].set(jnp.where(
+            all_const, fmt.SUBFRAME_TYPE_VERBATIM, choice.type_[:, last]))
+        choice = choice._replace(type_=new_type)
     frame_numbers = first_frame_number + jnp.arange(B, dtype=jnp.int64)
     return frame_mod.assemble_frames(choice, signal, assignment,
                                      frame_numbers, cfg, blocksize)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "blocksize",
-                                              "cap_bytes"))
-def encode_batches_dense(pcm, first_frame_number, cfg: EncoderConfig,
-                         blocksize: int, cap_bytes: int):
-    """Encode K batches in ONE dispatch and emit a dense byte stream.
+                                              "fetch_words"))
+def encode_batch_trimmed(pcm, first_frame_number, cfg: EncoderConfig,
+                         blocksize: int, fetch_words: int):
+    """encode_batch shaped for cheap device->host moves on a remote chip.
 
-    Two tunnel/PCIe costs dominate end-to-end encode on a remote chip: the
-    per-dispatch latency and the device->host fetch of the padded per-frame
-    word buffers (worst-case bound ~3x the compressed size).  This wrapper
-    (a) folds K encode_batch steps into a single lax.scan dispatch and
-    (b) concatenates each batch's frames back-to-back on-device into a
-    [cap_bytes] uint8 buffer, so the fetch moves only ~the compressed bytes.
+    The padded pow2 word rows bound ~3x the compressed size, and on a
+    tunneled chip the fetch is the bottleneck.  Data-dependent device-side
+    compaction is NOT the answer: XLA lowers both scatter and cross-row
+    gather to serialized element ops on TPU (measured ~40x the rest of the
+    encode step).  Instead the word buffer is split by a STATIC slice at
+    `fetch_words` (sized to cover typical compressed frames): the host
+    always fetches `main` — per-frame byte lengths in column 0, then each
+    frame's first fetch_words words — and touches `rest` only for the rare
+    frame that compressed above the trim point.  Slicing frames out of the
+    padded rows is host work (native C++ gather_frames).
 
-    pcm: [K, B, C, N] integer blocks (int16 accepted and widened on-device
-         so 16-bit sources transfer at half width).
-    Returns (dense [K, cap_bytes] uint8, lens [K, B] int32).  Frames of
-    batch k occupy dense[k, :sum(lens[k])] in order.  If sum(lens[k]) >
-    cap_bytes the batch overflowed (detect on host; re-run via
-    encode_batch) — with cap_bytes >= B*(N*bps/8 + 64) overflow is
-    impossible because rice-coded subframes never beat verbatim by losing.
+    pcm: [B, C, N] integer blocks (int16 accepted and widened on-device so
+         16-bit sources transfer at half width).
+    Returns (main [B, 1+fetch_words] uint32, rest [B, W-fetch_words]).
     """
-    def step(fn, blocks):
-        packed = encode_batch(blocks.astype(jnp.int32), fn, cfg, blocksize)
-        lens = packed.byte_len                       # [B]
-        offs = jnp.cumsum(lens) - lens               # [B] start offsets
-        byts = bitpack.words_to_bytes(packed.words)  # [B, 4W]
-        # gather formulation (a scatter into the dense buffer compiles
-        # pathologically on XLA): for each output byte j, find its owning
-        # frame via searchsorted on the offsets, then gather
-        j = jnp.arange(cap_bytes, dtype=jnp.int32)
-        fidx = jnp.searchsorted(offs, j, side="right").astype(jnp.int32) - 1
-        fidx = jnp.clip(fidx, 0, lens.shape[0] - 1)
-        src = j - offs[fidx]
-        valid = (src >= 0) & (src < lens[fidx])
-        dense = jnp.where(
-            valid, byts[fidx, jnp.clip(src, 0, byts.shape[1] - 1)], 0)
-        return fn + lens.shape[0], (dense, lens)
+    packed = encode_batch(pcm.astype(jnp.int32), first_frame_number, cfg,
+                          blocksize)
+    lens = packed.byte_len.astype(jnp.uint32)    # [B]
+    W = packed.words.shape[1]
+    fw = min(fetch_words, W)
+    main = jnp.concatenate([lens[:, None], packed.words[:, :fw]], axis=1)
+    rest = packed.words[:, fw:]
+    return main, rest
 
-    _, (dense, lens) = jax.lax.scan(step, first_frame_number, pcm)
-    return dense, lens
+
+def default_fetch_words(N: int, C: int, bps: int) -> int:
+    """Trim point for encode_batch_trimmed: generous vs typical compression
+    (~0.5-0.8 of raw for real audio) so remainder fetches stay rare, far
+    below the pow2-padded worst case."""
+    raw_words = (N * C * bps + 31) // 32
+    return (raw_words * 7) // 8 + 64
 
 
 def _md5_bytes_per_sample(bps: int) -> int:
@@ -162,11 +172,21 @@ def metadata_block_header(block_type: int, length: int,
 
 class StreamEncoder:
     """Host-side streaming encoder: buffers PCM, dispatches device batches,
-    assembles the byte stream, back-patches STREAMINFO at finish."""
+    assembles the byte stream, back-patches STREAMINFO at finish.
+
+    The emit path is a three-stage pipeline (the TPU analogue of the
+    reference's worker pool + ordered bitbuffer drain + md5_fifo,
+    stream_encoder.c:3490-3686): batches are dispatched to the device
+    asynchronously with their dense results fetched via copy_to_host_async,
+    up to `pipeline_depth` batches stay in flight while the host writes
+    earlier batches in order, and MD5 runs on a worker thread off the
+    critical path."""
 
     def __init__(self, out, cfg: EncoderConfig, *, batch_frames: int = 64,
                  padding: int = 4096, extra_metadata: list | None = None,
-                 seektable=None, verify: bool = False):
+                 seektable=None, verify: bool = False,
+                 pipeline_depth: int = 3,
+                 progress_callback=None):
         self.out = out
         self.cfg = cfg.resolve()
         self.batch_frames = batch_frames
@@ -183,7 +203,38 @@ class StreamEncoder:
         self._seektable_pos = None        # file offset of its body
         self._frame_index = []            # (first_sample, offset, blocksize)
         self._first_frame_offset = None
+        self._pipeline_depth = max(1, pipeline_depth)
+        self._inflight = []               # FIFO of dispatched batches
+        self._progress = progress_callback
+        self._bytes_written = 0
+        self._md5_queue, self._md5_thread, self._md5_err = None, None, None
+        self._start_md5_worker()
         self._write_stream_header(padding, extra_metadata or [])
+
+    def _start_md5_worker(self):
+        """MD5 fifo thread (the reference's md5_fifo analogue,
+        stream_encoder.c:3575-3686): hashing never blocks device work."""
+        import queue
+        import threading
+
+        self._md5_queue = queue.Queue(maxsize=8)
+
+        def run():
+            while True:
+                pcm = self._md5_queue.get()
+                if pcm is None:
+                    return
+                try:
+                    if self._native:
+                        self._md5.update_pcm(pcm, self.cfg.bits_per_sample)
+                    else:
+                        self._md5.update(interleave_for_md5(
+                            pcm, self.cfg.bits_per_sample))
+                except Exception as e:           # surfaced at finish()
+                    self._md5_err = e
+
+        self._md5_thread = threading.Thread(target=run, daemon=True)
+        self._md5_thread.start()
 
     def _write_stream_header(self, padding: int, extra: list):
         self.out.write(fmt.STREAM_SYNC_STRING)
@@ -215,14 +266,10 @@ class StreamEncoder:
     def process(self, pcm: np.ndarray):
         """pcm: [C, n] int32 interleaved-by-channel samples."""
         assert pcm.shape[0] == self.cfg.channels
-        if self._native:
-            # fused interleave+hash, no intermediate buffer (native C++)
-            self._md5.update_pcm(pcm, self.cfg.bits_per_sample)
-        else:
-            self._md5.update(
-                interleave_for_md5(pcm, self.cfg.bits_per_sample))
+        pcm = np.ascontiguousarray(pcm, np.int32)
+        self._md5_queue.put(pcm)
         self._info.total_samples += pcm.shape[1]
-        self._buf = np.concatenate([self._buf, pcm.astype(np.int32)], axis=1)
+        self._buf = np.concatenate([self._buf, pcm], axis=1)
         self._drain(final=False)
 
     def _drain(self, final: bool):
@@ -250,50 +297,77 @@ class StreamEncoder:
             self._buf = self._buf[:, :0]
 
     def _emit(self, blocks: np.ndarray, N: int):
-        """blocks: [B, C, N] int32."""
-        packed = encode_batch(jnp.asarray(blocks),
-                              np.int64(self._frame_number), self.cfg, N)
-        words = np.asarray(packed.words)
-        lens = np.asarray(packed.byte_len).astype(np.int64)
-        if int(lens.max()) > words.shape[1] * 4:
-            # the packer's scatter would have dropped bits past the buffer
-            # (exact costs make this structurally impossible; fail loudly
-            # rather than emit a silently-truncated frame)
-            raise RuntimeError(
-                f"frame exceeded worst-case pack buffer: {int(lens.max())} "
-                f"bytes > {words.shape[1] * 4} (encoder bug)")
-        wbytes = words.astype(">u4").view(np.uint8).reshape(
-            words.shape[0], -1)
+        """blocks: [B, C, N] int32 — dispatch one batch, keep the pipeline
+        at most `pipeline_depth` deep."""
+        B, C, _ = blocks.shape
+        # 16-bit sources cross the host->device link at half width
+        upload = blocks.astype(np.int16) \
+            if self.cfg.bits_per_sample <= 16 else blocks
+        fw = default_fetch_words(N, C, self.cfg.bits_per_sample)
+        main, rest = encode_batch_trimmed(jax.device_put(upload),
+                                          np.int64(self._frame_number),
+                                          self.cfg, N, fw)
+        try:
+            main.copy_to_host_async()
+        except AttributeError:          # non-jax array in exotic backends
+            pass
+        self._inflight.append(
+            (main, rest, blocks if self.verify else None, B, N,
+             self._frame_number))
+        self._frame_number += B
+        while len(self._inflight) > self._pipeline_depth:
+            self._drain_one_inflight()
+
+    def _drain_one_inflight(self):
+        main, rest, blocks, B, N, base_frame = self._inflight.pop(0)
+        buf = np.asarray(main)
+        lens = buf[:, 0].astype(np.int64)
+        fw = buf.shape[1] - 1
+        wbytes = buf[:, 1:].astype(">u4", order="C").view(np.uint8) \
+            .reshape(B, -1)
+        if int(lens.max()) > 4 * fw:
+            # rare: a frame compressed above the trim point — splice the
+            # remainder words in (one extra fetch for this batch only)
+            restb = np.asarray(rest).astype(">u4", order="C") \
+                .view(np.uint8).reshape(B, -1)
+            wbytes = np.concatenate([wbytes, restb], axis=1)
+            if int(lens.max()) > wbytes.shape[1]:
+                # structurally impossible (pow2 buffer bounds verbatim);
+                # fail loudly rather than emit a truncated stream
+                raise RuntimeError(
+                    f"frame exceeded worst-case pack buffer: "
+                    f"{int(lens.max())} > {wbytes.shape[1]} (encoder bug)")
+        if self._native:
+            blob = self._native.gather_frames(wbytes, lens)
+        else:
+            blob = b"".join(wbytes[i, :int(lens[i])].tobytes()
+                            for i in range(B))
         if self.verify:
-            self._verify_batch(blocks, wbytes, lens, N)
+            self._verify_batch(blocks, blob, lens, N, base_frame)
         if self._seektable is not None:
             base = self.out.tell() - self._first_frame_offset
             offs = base + np.concatenate([[0], np.cumsum(lens[:-1])])
-            for i in range(words.shape[0]):
+            for i in range(B):
                 self._frame_index.append(
-                    ((self._frame_number + i) * self.blocksize,
-                     int(offs[i]), N))
-        if self._native:
-            self.out.write(self._native.gather_frames(wbytes, lens))
-        else:
-            for i in range(words.shape[0]):
-                self.out.write(wbytes[i, :int(lens[i])].tobytes())
+                    ((base_frame + i) * self.blocksize, int(offs[i]), N))
+        self.out.write(blob)
+        self._bytes_written += len(blob)
         self._info.min_framesize = min(self._info.min_framesize,
                                        int(lens.min()))
         self._info.max_framesize = max(self._info.max_framesize,
                                        int(lens.max()))
-        self._frame_number += words.shape[0]
+        if self._progress is not None:
+            self._progress(base_frame + B, self.blocksize,
+                           self._bytes_written)
 
-    def _verify_batch(self, blocks: np.ndarray, wbytes: np.ndarray,
-                      lens: np.ndarray, N: int):
+    def _verify_batch(self, blocks: np.ndarray, blob: bytes,
+                      lens: np.ndarray, N: int, base_frame: int):
         """Encoder verify loopback (`-V`, stream_encoder.c:1287-1325,
         2334-2352): decode every emitted frame and compare sample-exactly
         against the input before any byte reaches the output."""
         from .decoder import decode_frame_list, parse_frame_header
         from .ref_decoder import DecodedStream
-        B = wbytes.shape[0]
-        blob = b"".join(wbytes[i, :int(lens[i])].tobytes()
-                        for i in range(B))
+        B = lens.shape[0]
         st = DecodedStream()
         st.sample_rate = self.cfg.sample_rate
         st.channels = self.cfg.channels
@@ -306,7 +380,7 @@ class StreamEncoder:
             h = parse_frame_header(blob, int(offs[i]), st)
             if h is None:
                 raise RuntimeError(
-                    f"verify: emitted frame {self._frame_number + i} has "
+                    f"verify: emitted frame {base_frame + i} has "
                     "an invalid header (encoder bug)")
             h["size"] = int(lens[i])
             frames.append(h)
@@ -322,7 +396,7 @@ class StreamEncoder:
                 bad = np.nonzero(sig != blocks[i])
                 raise RuntimeError(
                     "verify mismatch in audio data: frame "
-                    f"{self._frame_number + i}, channel {int(bad[0][0])}, "
+                    f"{base_frame + i}, channel {int(bad[0][0])}, "
                     f"sample {int(bad[1][0])} (stream NOT written)")
 
     def _resolve_seektable(self):
@@ -349,6 +423,12 @@ class StreamEncoder:
 
     def finish(self):
         self._drain(final=True)
+        while self._inflight:
+            self._drain_one_inflight()
+        self._md5_queue.put(None)
+        self._md5_thread.join()
+        if self._md5_err is not None:
+            raise self._md5_err
         self._info.md5 = self._md5.digest()
         if self.out.seekable():
             pos = self.out.tell()

@@ -357,6 +357,27 @@ def parse_block(block_type: int, body: bytes):
     return p(body)
 
 
+def parse_metadata_blocks(data: bytes) -> list[tuple[int, bytes]]:
+    """Raw (type, body) pairs of a FLAC stream's metadata section."""
+    if data[:4] != fmt.STREAM_SYNC_STRING:
+        raise MetadataError("missing fLaC marker")
+    out = []
+    pos, last = 4, False
+    while not last:
+        if pos + 4 > len(data):
+            raise MetadataError("truncated metadata")
+        hdr = struct.unpack(">I", data[pos:pos + 4])[0]
+        last = bool(hdr >> 31)
+        btype = (hdr >> 24) & 0x7F
+        length = hdr & 0xFFFFFF
+        body = data[pos + 4:pos + 4 + length]
+        if len(body) != length:
+            raise MetadataError("truncated metadata block")
+        out.append((btype, body))
+        pos += 4 + length
+    return out
+
+
 def block_header(block_type: int, length: int, is_last: bool) -> bytes:
     return struct.pack(">I", ((1 if is_last else 0) << 31)
                        | (block_type << 24) | length)

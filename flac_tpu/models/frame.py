@@ -175,11 +175,7 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
             ((rice2.astype(jnp.uint32) << 4) | po.astype(jnp.uint32))[:, None],
             jnp.where(has_res, 6, 0)[:, None].astype(jnp.int32))
 
-        # samples: Rice codes (fixed/lpc) or raw (verbatim).  The stream
-        # interleaves each partition's parameter with its samples, so every
-        # sample slot is paired with a parameter-prefix slot that is active
-        # only at partition starts (sample `order` for partition 0, sample
-        # p*m for p >= 1).
+        # samples: Rice codes (fixed/lpc) or raw (verbatim).
         u = rice_ops.zigzag(residual)                     # [B, N] uint32
         m = (N >> po)[:, None]                            # partition length
         # per-sample parameter: params repeated m times.  Expanded per
@@ -193,32 +189,75 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
                 continue
             expand = jnp.repeat(params[:, :parts_o], N // parts_o, axis=1)
             k_n = jnp.where(po[:, None] == p_o, expand, k_n)
-        q = (u >> k_n.astype(jnp.uint32)).astype(jnp.int32)
-        rice_pay = (jnp.uint32(1) << k_n.astype(jnp.uint32)) \
-            | (u & ((jnp.uint32(1) << k_n.astype(jnp.uint32)) - 1))
+        # escaped partitions (k sentinel >= ESCAPE_K_BASE): raw n-bit
+        # signed residuals instead of rice codes (decoder at
+        # stream_decoder.c:3338-3352)
+        esc_n = k_n >= rice_ops.ESCAPE_K_BASE
+        rawb_n = jnp.where(esc_n, k_n - rice_ops.ESCAPE_K_BASE, 0)
+        k_s = jnp.where(esc_n, 0, k_n).astype(jnp.uint32)
+        q = (u >> k_s).astype(jnp.int32)
+        rice_pay = (jnp.uint32(1) << k_s) | (u & ((jnp.uint32(1) << k_s)
+                                                  - 1))
+        raw_pay = residual.astype(jnp.uint32) & \
+            ((jnp.uint32(1) << jnp.clip(rawb_n, 0, 31).astype(jnp.uint32))
+             - 1)
         in_res = n_idx[None, :] >= order[:, None]
         smask = jnp.where(bps_eff >= 32, jnp.uint32(0xFFFFFFFF),
                           (jnp.uint32(1) << jnp.clip(bps_eff, 0, 31)
                            .astype(jnp.uint32)) - 1)[:, None]
         verb_pay = sig.astype(jnp.uint32) & smask
-        s_nz = jnp.where(has_res[:, None] & in_res, q, 0)
-        s_pay = jnp.where(has_res[:, None] & in_res, rice_pay,
+        active = has_res[:, None] & in_res
+        s_nz = jnp.where(active & ~esc_n, q, 0)
+        s_pay = jnp.where(active, jnp.where(esc_n, raw_pay, rice_pay),
                           jnp.where(is_v[:, None], verb_pay, 0))
-        s_pb = jnp.where(has_res[:, None] & in_res, k_n + 1,
+        s_pb = jnp.where(active, jnp.where(esc_n, rawb_n, k_n + 1),
                          jnp.where(is_v[:, None], bps_eff[:, None], 0))
 
-        plen = jnp.where(rice2, 5, 4)[:, None]
-        part_start = (n_idx[None, :] == order[:, None]) \
-            | ((n_idx[None, :] % m == 0) & (n_idx[None, :] > 0))
-        p_pb = jnp.where(has_res[:, None] & part_start, plen, 0)
-        p_pay = k_n.astype(jnp.uint32)
+        # partition parameter prefixes.  The scatter deposit costs ~9 ns
+        # per FIELD on TPU regardless of activity, so parameter slots are
+        # not paired with every sample (2N fields) but placed at the only
+        # positions partitions can start: partition 0's prefix precedes
+        # the first coded sample (slots < order are empty, so a single
+        # field before the sample array lands correctly), and starts p*m
+        # (p >= 1) are always multiples of m_min = N >> max_po — one
+        # static slot per m_min samples.
+        plen = jnp.where(rice2, 5, 4)
+        esc_mark = ((jnp.uint32(1) << plen.astype(jnp.uint32)) - 1) << 5
 
-        # interleave (prefix, sample) pairs along the slot axis
-        pair_nz = jnp.stack([jnp.zeros_like(s_nz), s_nz], axis=-1)
-        pair_pay = jnp.stack([p_pay, s_pay], axis=-1)
-        pair_pb = jnp.stack([p_pb, s_pb], axis=-1)
-        add(pair_nz.reshape(B, 2 * N), pair_pay.reshape(B, 2 * N),
-            pair_pb.reshape(B, 2 * N))
+        def prefix_fields(kvals):
+            """Parameter-prefix payload/width from sentinel-encoded k:
+            normal -> (k, plen); escaped -> (1..1 marker ++ 5-bit raw
+            width, plen+5)."""
+            e = kvals >= rice_ops.ESCAPE_K_BASE
+            raw = (kvals - rice_ops.ESCAPE_K_BASE).astype(jnp.uint32)
+            pay = jnp.where(e, esc_mark[:, None] | raw,
+                            kvals.astype(jnp.uint32))
+            pb = jnp.where(e, plen[:, None] + 5, plen[:, None])
+            return pay, pb
+
+        p0_pay, p0_pb = prefix_fields(params[:, :1])
+        add(zeros[:, None], p0_pay,
+            jnp.where(has_res[:, None], p0_pb, 0))
+        m_min = max(N >> max_po_here, 1)
+        G = N // m_min
+        g_idx = jnp.arange(G, dtype=jnp.int32)[None, :]           # [1, G]
+        # group g starts a partition iff g is a multiple of m/m_min
+        # = 2^(max_po - po) (a power of two even when N is not)
+        ratio = ((1 << max_po_here) >> po)[:, None]               # [B, 1]
+        b_active = has_res[:, None] & (g_idx > 0) & \
+            ((g_idx & (ratio - 1)) == 0)
+        b_pay, b_pb_all = prefix_fields(k_n[:, ::m_min])          # [B, G]
+        b_pb = jnp.where(b_active, b_pb_all, 0)
+        grp_nz = jnp.concatenate(
+            [jnp.zeros((B, G, 1), jnp.int32),
+             s_nz.reshape(B, G, m_min)], axis=2)
+        grp_pay = jnp.concatenate(
+            [b_pay[:, :, None], s_pay.reshape(B, G, m_min)], axis=2)
+        grp_pb = jnp.concatenate(
+            [b_pb[:, :, None], s_pb.reshape(B, G, m_min)], axis=2)
+        add(grp_nz.reshape(B, G * (1 + m_min)),
+            grp_pay.reshape(B, G * (1 + m_min)),
+            grp_pb.reshape(B, G * (1 + m_min)))
 
     # ---- byte-align padding + CRC-16 slot ----
     bits_so_far = sum(jnp.sum(nz + pb, axis=1, dtype=jnp.int32)

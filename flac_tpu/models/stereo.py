@@ -63,6 +63,22 @@ def build_channel_candidates(pcm, cfg: EncoderConfig):
     return x_shifted, bps_eff, w
 
 
+def loose_assignment(pcm, cfg: EncoderConfig):
+    """Loose mid-side heuristic (stream_encoder.c:3777-3812): pick
+    INDEPENDENT vs MID_SIDE per frame from first-difference abs sums,
+    skipping the exact 4-way comparison.  Exact f64 sums stand in for the
+    reference's int64 accumulators (values < 2^34, totals < 2^50)."""
+    dL = (pcm[:, 0, 1:] - pcm[:, 0, :-1]).astype(jnp.float64)
+    dR = (pcm[:, 1, 1:] - pcm[:, 1, :-1]).astype(jnp.float64)
+    sum_lr = jnp.sum(jnp.abs(dL) + jnp.abs(dR), axis=-1)
+    sum_ms = jnp.sum(jnp.abs(jnp.floor((dL + dR) / 2))
+                     + jnp.abs(dL - dR), axis=-1)
+    assignment = jnp.where(sum_lr < sum_ms, 0, 3).astype(jnp.int32)
+    ch0 = jnp.where(assignment == 0, L, M).astype(jnp.int32)
+    ch1 = jnp.where(assignment == 0, R, S).astype(jnp.int32)
+    return assignment, jnp.stack([ch0, ch1], axis=1)
+
+
 def select_assignment(bits, cfg: EncoderConfig):
     """Choose the channel assignment minimizing total bits.
 

@@ -63,18 +63,19 @@ def _rice_cost(u32, order, N: int, max_po: int, cfg: EncoderConfig):
     Returns (bits [..., L] incl. the 6 method/order field bits,
              params [..., L, P], rice2 [..., L] bool).
     """
+    esc = cfg.do_escape_coding
     if cfg.rice_param_limit <= 15:
         bits, ks = rice_ops.partition_cost_table(
-            u32, order, N, max_po, kmax=14, plen=4)
+            u32, order, N, max_po, kmax=14, plen=4, escape=esc)
         rice2 = jnp.zeros(bits.shape, bool)
     else:
         # RICE2 is chosen iff it is cheaper for the whole subframe (the
         # reference pays 5-bit params whenever any partition needs k>=15,
         # stream_encoder.c:4786-4794; exact min here is never worse)
         bits4, ks4 = rice_ops.partition_cost_table(
-            u32, order, N, max_po, kmax=14, plen=4)
+            u32, order, N, max_po, kmax=14, plen=4, escape=esc)
         bits5, ks5 = rice_ops.partition_cost_table(
-            u32, order, N, max_po, kmax=30, plen=5)
+            u32, order, N, max_po, kmax=30, plen=5, escape=esc)
         rice2 = bits5 < bits4
         bits = jnp.minimum(bits4, bits5)
         ks = jnp.where(rice2[..., None], ks5, ks4)
@@ -186,13 +187,36 @@ def search_and_realize(x, bps_eff, wasted, cfg: EncoderConfig,
         # skip candidates whose estimated rate already exceeds raw bps
         cand_ok = cand_ok & (est < bps32[..., None].astype(jnp.float64))
 
-        # qlp precision clamp (evaluate_lpc_subframe_, st..c:4591-4595)
-        static_prec = cfg.qlp_coeff_precision
-        prec = jnp.where(
-            bps32[..., None] <= 17,
-            jnp.minimum(static_prec,
-                        32 - bps32[..., None] - lpc_ops.ilog2(cand_order)),
-            static_prec).astype(jnp.int32)        # [B, CH, AC]
+        if cfg.do_qlp_coeff_prec_search:
+            # -p: every legal precision becomes its own candidate
+            # (evaluate_lpc over min..max precision, st..c:4231-4245)
+            PR = np.arange(fmt.MIN_QLP_COEFF_PRECISION,
+                           fmt.MAX_QLP_COEFF_PRECISION + 1, dtype=np.int32)
+            nP = int(PR.shape[0])
+            prec_grid = jnp.asarray(PR)
+            clamp = jnp.where(
+                bps32[..., None] <= 17,
+                jnp.maximum(
+                    32 - bps32[..., None] - lpc_ops.ilog2(cand_order),
+                    fmt.MIN_QLP_COEFF_PRECISION),
+                fmt.MAX_QLP_COEFF_PRECISION)                 # [B, CH, AC]
+            ok_p = prec_grid <= clamp[..., None]             # [B,CH,AC,nP]
+            cand_coeffs = jnp.repeat(cand_coeffs, nP, axis=2)
+            cand_order = jnp.repeat(cand_order, nP, axis=2)
+            cand_ok = (cand_ok[..., None] & ok_p).reshape(B, CH, AC * nP)
+            prec = jnp.broadcast_to(
+                prec_grid, (B, CH, AC, nP)).reshape(
+                    B, CH, AC * nP).astype(jnp.int32)
+            AC *= nP
+        else:
+            # qlp precision clamp (evaluate_lpc_subframe_, st..c:4591-4595)
+            static_prec = cfg.qlp_coeff_precision
+            prec = jnp.where(
+                bps32[..., None] <= 17,
+                jnp.minimum(static_prec,
+                            32 - bps32[..., None]
+                            - lpc_ops.ilog2(cand_order)),
+                static_prec).astype(jnp.int32)    # [B, CH, AC]
 
         qc, qshift, q_ok = lpc_ops.quantize_coefficients(
             cand_coeffs, cand_order, prec)        # [B,CH,AC,32] ...

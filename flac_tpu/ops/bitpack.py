@@ -30,18 +30,9 @@ from .crc import CRC8_POLY, CRC16_POLY, _xpow_mod_np
 # ---------------------------------------------------------------------------
 
 
-def pack_fields(nzeros, payload, pbits, max_words: int):
-    """Pack per-frame field lists into big-endian 32-bit word buffers.
-
-    nzeros:  [B, S] int32  — leading zero bits per field
-    payload: [B, S] uint32 — payload bits (LSB-aligned), 0 <= pbits <= 32
-    pbits:   [B, S] int32  — payload bit count (0 = no payload)
-    max_words: static — output words per frame (power of two recommended)
-
-    Returns (words [B, max_words] uint32, total_bits [B] int32).
-    Fields must already include any byte-alignment padding.
-    """
-    B, S = nzeros.shape
+def _field_word_contribs(nzeros, payload, pbits):
+    """Shared front half of the packers: per-field word index + the two
+    word-aligned contribution planes (a payload spans at most two words)."""
     nbits = nzeros + pbits
     end = jnp.cumsum(nbits, axis=1, dtype=jnp.int32)
     total_bits = end[:, -1]
@@ -59,11 +50,61 @@ def pack_fields(nzeros, payload, pbits, max_words: int):
                    pay << jnp.clip(64 - t, 0, 31).astype(jnp.uint32))
     hi = jnp.where(use, hi, jnp.uint32(0))
     lo = jnp.where(use, lo, jnp.uint32(0))
+    return w, hi, lo, total_bits
 
+
+def pack_fields(nzeros, payload, pbits, max_words: int):
+    """Pack per-frame field lists into big-endian 32-bit word buffers.
+
+    nzeros:  [B, S] int32  — leading zero bits per field
+    payload: [B, S] uint32 — payload bits (LSB-aligned), 0 <= pbits <= 32
+    pbits:   [B, S] int32  — payload bit count (0 = no payload)
+    max_words: static — output words per frame (power of two recommended)
+
+    Returns (words [B, max_words] uint32, total_bits [B] int32).
+    Fields must already include any byte-alignment padding.
+
+    The deposit is a scatter-add (disjoint bit ranges make add == or).
+    TPU note: XLA serializes both scatters and data-dependent gathers
+    (measured ~9 ns/element either way on v5e), so the win is MINIMIZING
+    FIELD COUNT (see models/frame.py's grouped parameter slots), not
+    reformulating the deposit — cumsum+searchsorted+take_along_axis
+    variants measured 5x slower than this scatter.
+    """
+    B, S = nzeros.shape
+    w, hi, lo, total_bits = _field_word_contribs(nzeros, payload, pbits)
     words = jnp.zeros((B, max_words), jnp.uint32)
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, S))
     words = words.at[b_idx, w].add(hi, mode="drop")
     words = words.at[b_idx, w + 1].add(lo, mode="drop")
+    return words, total_bits
+
+
+def pack_fields_prefix(nzeros, payload, pbits, max_words: int):
+    """Independent deposit formulation for unit cross-checks: prefix-sum
+    the contributions in field order and difference at each word's field
+    boundaries (found by binary search).  Mathematically equivalent to the
+    scatter (wrapping uint32 cumsums are exact because each word's bits
+    are disjoint); measured 5x slower than the scatter on TPU, so tests
+    only."""
+    B, S = nzeros.shape
+    w, hi, lo, total_bits = _field_word_contribs(nzeros, payload, pbits)
+
+    zero = jnp.zeros((B, 1), jnp.uint32)
+    Phi = jnp.concatenate([zero, jnp.cumsum(hi, axis=1)], axis=1)
+    Plo = jnp.concatenate([zero, jnp.cumsum(lo, axis=1)], axis=1)
+
+    q = jnp.arange(max_words, dtype=jnp.int32)
+    e = jax.vmap(lambda a: jnp.searchsorted(a, q, side="right"))(w)
+    e = e.astype(jnp.int32)              # [B, W]: #fields with w <= q
+    e1 = jnp.pad(e[:, :-1], ((0, 0), (1, 0)))     # e[q-1]
+    e2 = jnp.pad(e[:, :-2], ((0, 0), (2, 0)))     # e[q-2]
+
+    # hi of field f lands in word w_f; lo lands in word w_f + 1
+    words = (jnp.take_along_axis(Phi, e, axis=1)
+             - jnp.take_along_axis(Phi, e1, axis=1)
+             + jnp.take_along_axis(Plo, e1, axis=1)
+             - jnp.take_along_axis(Plo, e2, axis=1))
     return words, total_bits
 
 

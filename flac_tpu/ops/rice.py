@@ -47,8 +47,24 @@ def zigzag(residual):
     return folded.astype(jnp.uint32 if nbits <= 32 else jnp.uint64)
 
 
+# best_k entries >= ESCAPE_K_BASE mark an escaped partition; the raw bit
+# width is (entry - ESCAPE_K_BASE)
+ESCAPE_K_BASE = 64
+
+
+def _bit_length(x):
+    """Exact bit length of uint32 values (0 for 0)."""
+    import jax
+    x = x | (x >> 1)
+    x = x | (x >> 2)
+    x = x | (x >> 4)
+    x = x | (x >> 8)
+    x = x | (x >> 16)
+    return jax.lax.population_count(x).astype(jnp.int32)
+
+
 def partition_cost_table(u, order, N: int, max_po: int, kmax: int,
-                         plen: int = 4):
+                         plen: int = 4, escape: bool = False):
     """Exact Rice cost over all partition orders and parameters.
 
     u:      [..., N] uint32 zigzag-folded residual (any magnitude up to
@@ -78,12 +94,22 @@ def partition_cost_table(u, order, N: int, max_po: int, kmax: int,
     u_hi = (u32 >> 16).astype(jnp.int32)
     u_lo = u_lo.reshape(batch + (P, m))
     u_hi = u_hi.reshape(batch + (P, m))
+    if escape:
+        # raw width for an escaped partition: zigzag u < 2^n iff the
+        # residual fits n-bit signed raw, so width = bit_length(max u)
+        # = bit_length(OR over the partition); OR pair-merges up the tree
+        import jax
+        orv = jax.lax.reduce(u32.reshape(batch + (P, m)), jnp.uint32(0),
+                             jax.lax.bitwise_or, (len(batch) + 1,))
 
-    # finest-level half sums (int32-exact); one plane per needed shift
-    lo = jnp.stack([jnp.sum(u_lo >> k, axis=-1)
-                    for k in range(min(kmax, 16) + 1)], axis=-1)
-    hi = jnp.stack([jnp.sum(u_hi >> t, axis=-1)
-                    for t in range(max(kmax - 16, 0) + 1)], axis=-1)
+    # finest-level half sums (int32-exact); one plane per needed shift.
+    # ONE reduce over a broadcast [..., m, K] expression — XLA fuses the
+    # shift into the reduction and reads u once total; a python loop of
+    # per-k sums re-reads u every pass (measured 6 ms vs ~0 on v5e)
+    ks_lo = jnp.arange(min(kmax, 16) + 1, dtype=jnp.int32)
+    ks_hi = jnp.arange(max(kmax - 16, 0) + 1, dtype=jnp.int32)
+    lo = jnp.sum(u_lo[..., None] >> ks_lo, axis=-2)
+    hi = jnp.sum(u_hi[..., None] >> ks_hi, axis=-2)
 
     order_f = order.astype(jnp.float64)
     ks = jnp.arange(K, dtype=jnp.float64)
@@ -109,6 +135,16 @@ def partition_cost_table(u, order, N: int, max_po: int, kmax: int,
         cost = n_eff[..., None] * (ks + 1) + sums + plen
         best = jnp.minimum(jnp.min(cost, axis=-1), float(BIG))
         bk = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+        if escape:
+            # escaped partition: plen-bit all-ones marker + 5-bit width +
+            # n raw bits each (stream_encoder.c:4854-4910 precompute +
+            # writer; decoder at stream_decoder.c:3338-3352)
+            rawb = _bit_length(orv)
+            esc_cost = (n_eff * rawb.astype(jnp.float64)
+                        + plen + 5)
+            use_esc = esc_cost < best
+            best = jnp.minimum(best, esc_cost)
+            bk = jnp.where(use_esc, ESCAPE_K_BASE + rawb, bk)
         total = jnp.sum(best, axis=-1)
         # validity: partition 0 must retain samples after warmup exclusion
         # (format.c:541-553 / set_partitioned_rice_ semantics)
@@ -123,6 +159,9 @@ def partition_cost_table(u, order, N: int, max_po: int, kmax: int,
             # max value N*2^16 <= 2^31 so no overflow at any level
             lo = lo.reshape(batch + (parts // 2, 2, lo.shape[-1])).sum(-2)
             hi = hi.reshape(batch + (parts // 2, 2, hi.shape[-1])).sum(-2)
+            if escape:
+                orv = orv.reshape(batch + (parts // 2, 2))
+                orv = orv[..., 0] | orv[..., 1]
 
     best_bits = jnp.stack(levels_bits[::-1], axis=-1)   # [..., max_po+1]
     best_k = jnp.stack(levels_k[::-1], axis=-2)         # [..., max_po+1, P]

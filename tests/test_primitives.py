@@ -105,6 +105,27 @@ def test_pack_fields_vs_host_bitwriter():
         assert int(bits[b]) == len(want) * 8
 
 
+def test_pack_fields_matches_scatter_reference():
+    """The scatter packer must bit-match the independent prefix-sum
+    formulation, including huge unary runs and buffer-overflow drops."""
+    from flac_tpu.ops.bitpack import pack_fields_prefix as pack_fields_scatter
+    rng = np.random.default_rng(7)
+    B, S, W = 6, 400, 64
+    pbits = rng.integers(0, 33, (B, S)).astype(np.int32)
+    nzeros = rng.integers(0, 30, (B, S)).astype(np.int32)
+    nzeros[0, 10] = 900          # huge unary run
+    nzeros[1, -1] = 5000         # rows that overflow the word buffer
+    payload = rng.integers(0, 2**32, (B, S), dtype=np.uint64)
+    payload = (payload & ((1 << pbits.astype(np.uint64)) - 1)).astype(
+        np.uint32)
+    a = pack_fields(jnp.asarray(nzeros), jnp.asarray(payload),
+                    jnp.asarray(pbits), W)
+    b = pack_fields_scatter(jnp.asarray(nzeros), jnp.asarray(payload),
+                            jnp.asarray(pbits), W)
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 def test_deposit_byte():
     words = jnp.zeros((2, 4), jnp.uint32)
     out = deposit_byte(words, jnp.asarray([0, 5]), jnp.asarray([0xAB, 0xCD]))
