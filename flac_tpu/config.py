@@ -93,11 +93,10 @@ class EncoderConfig:
         maxpo = min(c.max_residual_partition_order, 15)
         minpo = min(c.min_residual_partition_order, maxpo)
         # at bps=32 the side channel is 33-bit (stream_encoder.c:152
-        # integer_signal_33bit_side); our hot tensors are int32, so encode
-        # independent channels instead (decode of 33-bit-side streams is
-        # fully supported; impact is compression ratio only, on the rare
-        # 32-bit inputs)
-        do_ms = c.do_mid_side and c.channels == 2 and c.bits_per_sample < 32
+        # integer_signal_33bit_side): the candidate tensor switches to
+        # exact f64 and the packer splits >32-bit payloads — see
+        # models/stereo.py build_channel_candidates
+        do_ms = c.do_mid_side and c.channels == 2
         return dataclasses.replace(
             c, blocksize=blocksize, qlp_coeff_precision=qlp,
             max_residual_partition_order=maxpo,

@@ -148,14 +148,34 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
             wflag[:, None])
 
         # warmup samples (bps_eff bits each) / constant value — warmup
-        # precedes the LPC precision/shift/coefficient fields in the spec
+        # precedes the LPC precision/shift/coefficient fields in the spec.
+        # In the 33-bit-side config (bps=32 mid-side) a warmup sample can
+        # need 33 bits, beyond the packer's 32-bit payload: split into a
+        # (high, low-16) field pair (stream_encoder.c:152 33-bit side).
+        wide = cfg.max_subframe_bps > 32
         j_idx = jnp.arange(fmt.MAX_LPC_ORDER, dtype=jnp.int32)
-        wmask = (jnp.int64(1) << bps_eff) - 1
-        wpay = (warm.astype(jnp.int64) & wmask[:, None]).astype(jnp.uint32)
-        wpb = jnp.where(
-            has_res[:, None] & (j_idx < order[:, None]), bps_eff[:, None],
-            jnp.where(is_c[:, None] & (j_idx == 0), bps_eff[:, None], 0))
-        add(jnp.zeros_like(wpb), wpay, wpb)
+        wmask = (jnp.int64(1) << bps_eff.astype(jnp.int64)) - 1
+        wm64 = warm.astype(jnp.int64) & wmask[:, None]
+        w_active = (has_res[:, None] & (j_idx < order[:, None])) \
+            | (is_c[:, None] & (j_idx == 0))
+        if wide:
+            hi_bits = jnp.clip(bps_eff - 16, 0, 17)[:, None]
+            lo_bits = jnp.minimum(bps_eff, 16)[:, None]
+            w_hi = (wm64 >> 16).astype(jnp.uint32)
+            w_lo = (wm64 & 0xFFFF).astype(jnp.uint32)
+            pair_pay = jnp.stack([w_hi, w_lo], axis=-1)
+            pair_pb = jnp.stack(
+                [jnp.where(w_active, jnp.broadcast_to(
+                    hi_bits, w_active.shape), 0),
+                 jnp.where(w_active, jnp.broadcast_to(
+                     lo_bits, w_active.shape), 0)], axis=-1)
+            M2 = 2 * fmt.MAX_LPC_ORDER
+            add(jnp.zeros((B, M2), jnp.int32), pair_pay.reshape(B, M2),
+                pair_pb.reshape(B, M2))
+        else:
+            wpay = wm64.astype(jnp.uint32)
+            wpb = jnp.where(w_active, bps_eff[:, None], 0)
+            add(jnp.zeros_like(wpb), wpay, wpb)
 
         # LPC precision-1 (4 bits) + shift (5 bits)
         add(zeros[:, None],
@@ -202,16 +222,31 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
             ((jnp.uint32(1) << jnp.clip(rawb_n, 0, 31).astype(jnp.uint32))
              - 1)
         in_res = n_idx[None, :] >= order[:, None]
-        smask = jnp.where(bps_eff >= 32, jnp.uint32(0xFFFFFFFF),
-                          (jnp.uint32(1) << jnp.clip(bps_eff, 0, 31)
-                           .astype(jnp.uint32)) - 1)[:, None]
-        verb_pay = sig.astype(jnp.uint32) & smask
         active = has_res[:, None] & in_res
         s_nz = jnp.where(active & ~esc_n, q, 0)
-        s_pay = jnp.where(active, jnp.where(esc_n, raw_pay, rice_pay),
-                          jnp.where(is_v[:, None], verb_pay, 0))
-        s_pb = jnp.where(active, jnp.where(esc_n, rawb_n, k_n + 1),
-                         jnp.where(is_v[:, None], bps_eff[:, None], 0))
+        if wide:
+            # verbatim payloads can be 33-bit: (high, low-16) slot pairs
+            sig64 = sig.astype(jnp.int64) & wmask[:, None]
+            v_hi = (sig64 >> 16).astype(jnp.uint32)
+            v_lo = (sig64 & 0xFFFF).astype(jnp.uint32)
+            s_pay = jnp.where(active, jnp.where(esc_n, raw_pay, rice_pay),
+                              jnp.where(is_v[:, None], v_hi, 0))
+            s_pb = jnp.where(active, jnp.where(esc_n, rawb_n, k_n + 1),
+                             jnp.where(is_v[:, None],
+                                       jnp.broadcast_to(hi_bits,
+                                                        active.shape), 0))
+            sl_pay = jnp.where(is_v[:, None], v_lo, 0)
+            sl_pb = jnp.where(is_v[:, None],
+                              jnp.broadcast_to(lo_bits, active.shape), 0)
+        else:
+            smask = jnp.where(bps_eff >= 32, jnp.uint32(0xFFFFFFFF),
+                              (jnp.uint32(1) << jnp.clip(bps_eff, 0, 31)
+                               .astype(jnp.uint32)) - 1)[:, None]
+            verb_pay = sig.astype(jnp.uint32) & smask
+            s_pay = jnp.where(active, jnp.where(esc_n, raw_pay, rice_pay),
+                              jnp.where(is_v[:, None], verb_pay, 0))
+            s_pb = jnp.where(active, jnp.where(esc_n, rawb_n, k_n + 1),
+                             jnp.where(is_v[:, None], bps_eff[:, None], 0))
 
         # partition parameter prefixes.  The scatter deposit costs ~9 ns
         # per FIELD on TPU regardless of activity, so parameter slots are
@@ -248,16 +283,27 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
             ((g_idx & (ratio - 1)) == 0)
         b_pay, b_pb_all = prefix_fields(k_n[:, ::m_min])          # [B, G]
         b_pb = jnp.where(b_active, b_pb_all, 0)
+        if wide:
+            # (main, low) pair per sample so 33-bit verbatim fits
+            sm_nz = jnp.stack([s_nz, jnp.zeros_like(s_nz)], axis=-1)
+            sm_pay = jnp.stack([s_pay, sl_pay], axis=-1)
+            sm_pb = jnp.stack([s_pb, sl_pb], axis=-1)
+            per = 2 * m_min
+            s_nz_g = sm_nz.reshape(B, G, per)
+            s_pay_g = sm_pay.reshape(B, G, per)
+            s_pb_g = sm_pb.reshape(B, G, per)
+        else:
+            per = m_min
+            s_nz_g = s_nz.reshape(B, G, per)
+            s_pay_g = s_pay.reshape(B, G, per)
+            s_pb_g = s_pb.reshape(B, G, per)
         grp_nz = jnp.concatenate(
-            [jnp.zeros((B, G, 1), jnp.int32),
-             s_nz.reshape(B, G, m_min)], axis=2)
-        grp_pay = jnp.concatenate(
-            [b_pay[:, :, None], s_pay.reshape(B, G, m_min)], axis=2)
-        grp_pb = jnp.concatenate(
-            [b_pb[:, :, None], s_pb.reshape(B, G, m_min)], axis=2)
-        add(grp_nz.reshape(B, G * (1 + m_min)),
-            grp_pay.reshape(B, G * (1 + m_min)),
-            grp_pb.reshape(B, G * (1 + m_min)))
+            [jnp.zeros((B, G, 1), jnp.int32), s_nz_g], axis=2)
+        grp_pay = jnp.concatenate([b_pay[:, :, None], s_pay_g], axis=2)
+        grp_pb = jnp.concatenate([b_pb[:, :, None], s_pb_g], axis=2)
+        add(grp_nz.reshape(B, G * (1 + per)),
+            grp_pay.reshape(B, G * (1 + per)),
+            grp_pb.reshape(B, G * (1 + per)))
 
     # ---- byte-align padding + CRC-16 slot ----
     bits_so_far = sum(jnp.sum(nz + pb, axis=1, dtype=jnp.int32)

@@ -44,9 +44,36 @@ def build_channel_candidates(pcm, cfg: EncoderConfig):
     For stereo with mid-side search: [B, 4, N] (L, R, M, S), bps
     [bps, bps, bps, bps+1]; otherwise the channels pass through.
     mid = (L+R)>>1 (arithmetic), side = L-R (stream_encoder.c:3823-3836).
+
+    At bps=32 the side channel is 33-bit (integer_signal_33bit_side,
+    stream_encoder.c:152,3823-3836).  Rather than paying TPU's x64
+    rewrite on the hot tensors, the candidate tensor switches to f64 —
+    exact for 33-bit integers — and the wasted-bit count comes from the
+    wrapped int32 view (low 32 bits determine ctz unless they are all
+    zero).  Residuals remain int32, gated by the exact range analysis.
     """
     B, C, N = pcm.shape
     bps = cfg.bits_per_sample
+    if C == 2 and cfg.do_mid_side and cfg.max_subframe_bps > 32:
+        left, right = pcm[:, 0], pcm[:, 1]
+        lf = left.astype(jnp.float64)
+        rf = right.astype(jnp.float64)
+        mid = jnp.floor((lf + rf) / 2)            # == (L+R)>>1, exact
+        side = lf - rf                            # 33-bit, exact in f64
+        x = jnp.stack([lf, rf, mid, side], axis=1)
+        # wasted bits: ctz over the int32 wrap; a channel whose low 32
+        # bits OR to zero but holds nonzero +-2^32 values has ctz 32
+        x_lo = jnp.stack([left, right, mid.astype(jnp.int32),
+                          left - right], axis=1)  # int32 two's-comp wrap
+        w = wasted_bits(x_lo)
+        lo_zero = jax.lax.reduce(x_lo, jnp.int32(0), jax.lax.bitwise_or,
+                                 (2,)) == 0
+        any_nz = jnp.any(x != 0, axis=-1)
+        w = jnp.where(lo_zero & any_nz, 32, w)
+        from ..ops.lpc import _pow2
+        x_shifted = jnp.floor(x * _pow2(-w[..., None]))
+        ch_bps = jnp.asarray([bps, bps, bps, bps + 1], jnp.int32)
+        return x_shifted, ch_bps[None, :] - w, w
     if C == 2 and cfg.do_mid_side:
         left = pcm[:, 0]
         right = pcm[:, 1]

@@ -108,3 +108,42 @@ def test_size_not_worse_than_libflac_24bit(oracle_flac, tmp_path):
     ours = buf.getvalue()
     assert len(ours) <= ref.stat().st_size, (
         f"ours {len(ours)} > libFLAC {ref.stat().st_size}")
+
+
+def test_32bit_mid_side_beats_independent(oracle_flac, tmp_path):
+    """VERDICT r2 #3: the 33-bit side channel must actually be encoded at
+    bps=32 (integer_signal_33bit_side, stream_encoder.c:152,3823-3836) and
+    win on correlated stereo."""
+    rng = np.random.default_rng(3)
+    n = 4096 * 3
+    t = np.arange(n) / 96000.0
+    base = (np.sin(2 * np.pi * 440 * t) * (1 << 30)).astype(np.int64)
+    noise = rng.integers(-(1 << 12), 1 << 12, n)
+    L = np.clip(base + noise, -(1 << 31), (1 << 31) - 1).astype(np.int32)
+    R = np.clip(base - noise, -(1 << 31), (1 << 31) - 1).astype(np.int32)
+    pcm = np.stack([L, R])
+    cfg_ms = EncoderConfig.from_preset(
+        5, sample_rate=96000, channels=2, bits_per_sample=32)
+    cfg_ind = EncoderConfig.from_preset(
+        5, sample_rate=96000, channels=2, bits_per_sample=32,
+        do_mid_side=False)
+    assert cfg_ms.resolve().do_mid_side, "mid-side must stay on at bps=32"
+    s_ms = encode_file_to_flac(pcm, cfg_ms, batch_frames=4)
+    s_ind = encode_file_to_flac(pcm, cfg_ind, batch_frames=4)
+    assert len(s_ms) < len(s_ind)
+    st = decode_stream(s_ms)
+    np.testing.assert_array_equal(st.samples, pcm)
+    _oracle_check(s_ms, pcm, oracle_flac, tmp_path)
+
+
+def test_32bit_constant_33bit_side(oracle_flac, tmp_path):
+    """Constant subframes whose value needs 33 bits (split-field emission
+    path for warmup/constant payloads)."""
+    n = 4096 * 2
+    pcm = np.zeros((2, n), np.int32)
+    pcm[0, :] = (1 << 31) - 1
+    pcm[1, :] = -(1 << 31)          # side = constant 2^32 - 1 (33-bit)
+    data = _encode(pcm, 32, preset=5)
+    st = decode_stream(data)
+    np.testing.assert_array_equal(st.samples, pcm)
+    _oracle_check(data, pcm, oracle_flac, tmp_path)
