@@ -91,6 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force-wave64-format", action="store_true")
     p.add_argument("--force-legacy-wave-format", action="store_true",
                    help="(decode) never use WAVEFORMATEXTENSIBLE")
+    p.add_argument("--keep-foreign-metadata", action="store_true",
+                   help="store/restore non-audio container chunks in "
+                   "APPLICATION blocks (foreign_metadata.c)")
+    p.add_argument("--keep-foreign-metadata-if-present", action="store_true",
+                   help="like --keep-foreign-metadata but silently skip "
+                   "when the input has none")
     p.add_argument("--force-raw-format", action="store_true")
     p.add_argument("--channels", type=int, help="(raw input) channel count")
     p.add_argument("--bps", type=int, help="(raw input) bits per sample")
@@ -222,15 +228,33 @@ def _read_input(path: str, args):
         return container.read_raw(
             data, sample_rate=args.sample_rate, channels=args.channels,
             bits_per_sample=args.bps, big_endian=args.endian == "big",
-            signed=args.sign == "signed")
-    return container.sniff_and_read(data)
+            signed=args.sign == "signed"), data
+    return container.sniff_and_read(data), data
 
 
 def do_encode(args, path: str) -> int:
     from .encoder import StreamEncoder
-    info = _read_input(path, args)
+    info, raw_data = _read_input(path, args)
     cfg = make_config(args, info)
     samples = info.samples
+    foreign_blocks = []
+    if args.keep_foreign_metadata or args.keep_foreign_metadata_if_present:
+        from . import foreign
+        from . import format as fmt
+        scanned = None
+        try:
+            scanned = foreign.scan_foreign(raw_data)
+        except foreign.ForeignError as e:
+            raise SystemExit(f"{path}: --keep-foreign-metadata: {e}")
+        if scanned is None:
+            if args.keep_foreign_metadata:
+                raise SystemExit(
+                    f"{path}: --keep-foreign-metadata requires WAV/RF64/"
+                    "AIFF/Wave64 input")
+        else:
+            appid, blocks = scanned
+            foreign_blocks = [(fmt.METADATA_TYPE_APPLICATION, appid + b)
+                              for b in blocks]
     if args.skip or args.until:
         start, end = resolve_skip_until(args, info.sample_rate,
                                         samples.shape[1])
@@ -245,6 +269,7 @@ def do_encode(args, path: str) -> int:
     else:
         out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
     extra = []
+    extra.extend(foreign_blocks)
     if info.metadata:
         # FLAC-to-FLAC re-encode preserves metadata blocks (encode.c:805)
         extra.extend(info.metadata)
@@ -379,6 +404,35 @@ def do_decode(args, path: str) -> int:
     if args.apply_replaygain_which_is_not_lossless is not None:
         st.samples = apply_replaygain_on_decode(
             data, st, args.apply_replaygain_which_is_not_lossless, path)
+    if args.keep_foreign_metadata or args.keep_foreign_metadata_if_present:
+        from . import foreign
+        from .metadata import parse_metadata_blocks
+        found = None
+        if data[:4] == b"fLaC":
+            found = foreign.extract_from_flac_metadata(
+                parse_metadata_blocks(data))
+        if found is None:
+            if args.keep_foreign_metadata:
+                raise SystemExit(f"{path}: --keep-foreign-metadata: input "
+                                 "has no foreign metadata blocks")
+        else:
+            appid, blocks = found
+            kind = foreign.foreign_kind(appid, blocks)
+            payload = container._pcm_to_bytes(
+                st.samples, st.bits_per_sample,
+                big_endian=kind in ("aiff", "aiff-c-none"),
+                unsigned8=kind in ("wav", "rf64", "w64"))
+            restored = foreign.restore_foreign(appid, blocks, payload)
+            out_name = args.output_name or (
+                path.rsplit(".", 1)[0] + _DECODE_EXT.get(kind, ".wav"))
+            if out_name == "-":
+                sys.stdout.buffer.write(restored)
+            else:
+                open(out_name, "wb").write(restored)
+            if not args.silent:
+                print(f"{path}: done (foreign metadata restored)",
+                      file=sys.stderr)
+            return 0
     fmt_name = decode_output_format(args)
     out_name = args.output_name or (
         path.rsplit(".", 1)[0] + _DECODE_EXT[fmt_name])

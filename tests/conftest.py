@@ -12,24 +12,39 @@ import jax  # noqa: E402
 # deterministic 8-device virtual CPU mesh instead
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache, keyed by this host's CPU feature set: the
-# suite is compile-dominated on 2 CPUs (cold run ~25+ min), and cache
-# entries AOT-compiled on one machine SIGILL when replayed on a host with
-# different CPU features — hashing the cpuinfo flags into the directory
-# name makes stale-machine replay impossible.  (An earlier abort inside
-# compilation_cache.put_executable_and_time was traced to a since-removed
-# pathological scatter graph; if it recurs, delete .jax_cache-*.)
+# Persistent compile cache, READ-ONLY by default: the suite is
+# compile-dominated on 2 CPUs (cold run ~25+ min), but two distinct
+# native crashes live in the cache write/read machinery:
+#  - `executable.serialize()` (the write path) segfaults after ~70 tests
+#    of accumulated in-process compiles (reproduced twice, different
+#    tests each time — accumulation-dependent, not one bad graph);
+#  - stale AOT entries compiled under a different jaxlib/CPU feature set
+#    SIGILL when deserialized (xla cpu_aot_loader warns exactly this).
+# So: the cache directory is keyed by cpuinfo flags + jaxlib version
+# (kills stale-entry reads), and cache WRITES are disabled in the test
+# process unless FLAC_TPU_CACHE_WRITE=1 — reads never call serialize().
+# To (re)populate a cold cache, run the suite once as the warmer:
+#   FLAC_TPU_CACHE_WRITE=1 python -m pytest tests/ -q
+# (a warmer crash is harmless: entries written before it persist, and a
+# rerun resumes from them).
 import hashlib  # noqa: E402
+
+import jaxlib  # noqa: E402
 
 try:
     with open("/proc/cpuinfo") as f:
         _flags = [ln for ln in f if ln.startswith("flags")][0]
-    _cpu_key = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+    _cpu_key = hashlib.sha1(
+        (_flags + jaxlib.__version__).encode()).hexdigest()[:12]
 except (OSError, IndexError):
-    _cpu_key = "generic"
+    _cpu_key = "generic-" + jaxlib.__version__
 jax.config.update("jax_compilation_cache_dir",
                   f"/root/repo/.jax_cache-{_cpu_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("FLAC_TPU_CACHE_WRITE") == "1":
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    # effectively +inf: no entry ever qualifies for a write
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e18)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
