@@ -449,7 +449,7 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
     cand = np.where((arr[:-1] == 0xFF) & ((arr[1:] & 0xFC) == 0xF8))[0]
     cand = cand[cand >= start]
     frames = []
-    expected = 0
+    expected = None     # any first number is legal (trimmed streams)
     for pos in cand:
         if frames and pos < frames[-1]["offset"] + 10:
             continue  # 10 = minimal possible frame size (header+subframe+crc)
@@ -465,7 +465,7 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
                     frames[-1]["blocksize"]:
                 continue
         frames.append(hdr)
-        expected += 1
+        expected = hdr["number"] + 1
     for i, f in enumerate(frames):
         end = frames[i + 1]["offset"] if i + 1 < len(frames) else len(data)
         f["size"] = end - f["offset"]
@@ -559,12 +559,26 @@ def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
             else:
                 bad = set()
             sig_np = np.asarray(sig)
+            # decoded-sample range check (stream_decoder.c:2458-2472): a
+            # sample outside the stream's bps range means lost sync
+            lim = 1 << (st.bits_per_sample - 1)
+            oor = np.nonzero(np.any((sig_np < -lim) | (sig_np >= lim),
+                                    axis=(1, 2)))[0]
+            labels = {j: "FRAME_CRC_MISMATCH" for j in bad}
+            for j in oor:
+                if j in bad:
+                    continue
+                if on_crc_error == "raise":
+                    raise FlacDecodeError(
+                        "decoded sample out of bps range (lost sync) at "
+                        f"frame {frames[batch[j]]['number']}")
+                bad.add(int(j))
+                labels[int(j)] = "LOST_SYNC"
             for j, i in enumerate(batch):
                 if j in bad:
                     if not hasattr(st, "errors"):
                         st.errors = []
-                    st.errors.append(
-                        ("FRAME_CRC_MISMATCH", frames[i]["number"]))
+                    st.errors.append((labels[j], frames[i]["number"]))
                     continue
                 results[i] = sig_np[j].astype(np.int32)
     return results

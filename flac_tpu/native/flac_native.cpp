@@ -312,23 +312,25 @@ static int parse_header(const uint8_t* data, int64_t len, int64_t pos,
 }
 
 // Scan [start, len) for frames.  Fixed-blocksize streams must number
-// consecutively from 0; variable streams chain sample numbers — the same
-// false-sync rejection as decoder.scan_frames.  Each accepted frame writes
-// 9 int64s {offset, number, blocksize, sample_rate, channels, assignment,
-// bps, variable, header_bits} into out.  Returns the frame count.
+// consecutively (from ANY first value — the reference accepts trimmed
+// streams, stream_decoder.c has no number==0 check); variable streams
+// chain sample numbers — the same false-sync rejection as
+// decoder.scan_frames.  Each accepted frame writes 9 int64s {offset,
+// number, blocksize, sample_rate, channels, assignment, bps, variable,
+// header_bits} into out.  Returns the frame count.
 int64_t ft_scan_frames(const uint8_t* data, int64_t len, int64_t start,
                        int32_t stream_bps, int64_t stream_rate, int64_t* out,
                        int64_t max_frames) {
   init_tables();
   int64_t count = 0;
-  int64_t expected = 0;
+  int64_t expected = -1;
   int64_t last_off = -1000, last_num = 0, last_bs = 0;
   int64_t hdr[8];
   for (int64_t pos = start; pos + 1 < len && count < max_frames; pos++) {
     if (data[pos] != 0xFF || (data[pos + 1] & 0xFC) != 0xF8) continue;
     if (count && pos < last_off + 10) continue;  // inside minimal frame
     if (!parse_header(data, len, pos, stream_bps, stream_rate, hdr)) continue;
-    if (!hdr[6] && hdr[0] != expected) continue;
+    if (!hdr[6] && count && hdr[0] != expected) continue;
     if (hdr[6] && count && hdr[0] != last_num + last_bs) continue;
     int64_t* o = out + 9 * count;
     o[0] = pos;
@@ -336,7 +338,7 @@ int64_t ft_scan_frames(const uint8_t* data, int64_t len, int64_t start,
     last_off = pos;
     last_num = hdr[0];
     last_bs = hdr[1];
-    expected++;
+    expected = hdr[0] + 1;
     count++;
     pos += 9;  // skip the minimal frame body (next ++ makes 10)
   }
