@@ -49,8 +49,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remove-all", action="store_true")
     p.add_argument("--merge-padding", action="store_true")
     p.add_argument("--sort-padding", action="store_true")
+    p.add_argument("--append", action="store_true",
+                   help="append binary metadata block(s) from stdin after "
+                   "--block-number (operations.c:235-330)")
+    p.add_argument("--data-format", choices=["text", "binary",
+                                             "binary-headerless"],
+                   default="text",
+                   help="--list output form (options.c:101)")
+    p.add_argument("--set-md5sum")
+    p.add_argument("--set-min-blocksize", type=int)
+    p.add_argument("--set-max-blocksize", type=int)
+    p.add_argument("--set-min-framesize", type=int)
+    p.add_argument("--set-max-framesize", type=int)
+    p.add_argument("--set-sample-rate", type=int)
+    p.add_argument("--set-channels", type=int)
+    p.add_argument("--set-bps", type=int)
+    p.add_argument("--set-total-samples", type=int)
     p.add_argument("files", nargs="+")
     return p
+
+
+def _block_number_set(args) -> set[int] | None:
+    if not args.block_number:
+        return None
+    try:
+        return {int(x) for x in args.block_number.split(",")}
+    except ValueError:
+        raise SystemExit(f"bad --block-number: {args.block_number!r}")
 
 
 _TYPE_NAMES = {
@@ -64,8 +89,23 @@ _TYPE_NAMES = {
 }
 
 
-def list_blocks(chain: md.Chain, out=sys.stdout) -> None:
+def list_blocks(chain: md.Chain, out=sys.stdout, only: set | None = None,
+                data_format: str = "text") -> None:
+    if data_format in ("binary", "binary-headerless"):
+        raw = sys.stdout.buffer
+        for i, b in enumerate(chain.blocks):
+            if only is not None and i not in only:
+                continue
+            body = b.to_bytes()
+            if data_format == "binary":
+                raw.write(md.block_header(
+                    b.TYPE, len(body), i == len(chain.blocks) - 1))
+            raw.write(body)
+        raw.flush()
+        return
     for i, b in enumerate(chain.blocks):
+        if only is not None and i not in only:
+            continue
         body = b.to_bytes()
         name = _TYPE_NAMES.get(b.TYPE, "UNKNOWN")
         print(f"METADATA block #{i}", file=out)
@@ -190,6 +230,23 @@ def process_file(args, path: str) -> int:
         name, _, value = spec.partition("=")
         _vc(chain).set(name, value, replace_all=False)
         dirty = True
+    for spec in args.set_tag_from_file:
+        # NAME=FILENAME: the file's contents become the tag value
+        # (vorbiscomment.c flac__vorbiscomment_add value_from_file path)
+        name, sep, fname = spec.partition("=")
+        if not sep or not fname:
+            print(f"{path}: bad --set-tag-from-file (need NAME=FILE): "
+                  f"{spec}", file=sys.stderr)
+            return 1
+        try:
+            value = open(fname, "rb").read().decode("utf-8")
+        except (OSError, UnicodeDecodeError) as e:
+            print(f"{path}: --set-tag-from-file: {e}", file=sys.stderr)
+            return 1
+        if value.endswith("\n"):
+            value = value[:-1]
+        _vc(chain).set(name, value, replace_all=False)
+        dirty = True
     for name in args.remove_tag:
         vc = _vc(chain, create=False)
         if vc and vc.remove(name):
@@ -305,16 +362,81 @@ def process_file(args, path: str) -> int:
     if args.add_padding is not None:
         chain.blocks.append(md.PaddingBlock(args.add_padding))
         dirty = True
-    if args.remove and args.block_type:
-        wanted = {t.strip().upper() for t in args.block_type.split(",")}
+    if args.remove and (args.block_type or args.block_number):
+        wanted = {t.strip().upper() for t in args.block_type.split(",")} \
+            if args.block_type else None
+        numbers = _block_number_set(args)
         keep = []
-        for b in chain.blocks:
+        for i, b in enumerate(chain.blocks):
             name = _TYPE_NAMES.get(b.TYPE, "UNKNOWN")
-            if name in wanted and name != "STREAMINFO":
+            hit = ((wanted is not None and name in wanted)
+                   or (numbers is not None and i in numbers))
+            if hit and name != "STREAMINFO":
                 dirty = True
                 continue
             keep.append(b)
         chain.blocks = keep
+    if args.append:
+        numbers = _block_number_set(args)
+        if numbers is not None and len(numbers) > 1:
+            print("ERROR: more than one block number specified with "
+                  "--append", file=sys.stderr)
+            return 1
+        after = min(numbers) if numbers else len(chain.blocks) - 1
+        insert_at = min(after + 1, len(chain.blocks))
+        raw = sys.stdin.buffer.read()
+        pos = 0
+        has_vc = chain.get(fmt.METADATA_TYPE_VORBIS_COMMENT) is not None
+        while pos + 4 <= len(raw):
+            hdr = int.from_bytes(raw[pos:pos + 4], "big")
+            btype = (hdr >> 24) & 0x7F
+            length = hdr & 0xFFFFFF
+            body = raw[pos + 4:pos + 4 + length]
+            if len(body) != length:
+                print(f"ERROR: couldn't read metadata block from stdin",
+                      file=sys.stderr)
+                return 1
+            if btype == fmt.METADATA_TYPE_STREAMINFO:
+                print("ERROR: can't add streaminfo to file",
+                      file=sys.stderr)
+                return 1
+            if btype == fmt.METADATA_TYPE_SEEKTABLE:
+                print("ERROR: can't add seektable to file, please use "
+                      "--add-seekpoint instead", file=sys.stderr)
+                return 1
+            if btype == fmt.METADATA_TYPE_VORBIS_COMMENT and has_vc:
+                print("ERROR: can't add another vorbis comment block to "
+                      "file, it already has one", file=sys.stderr)
+                return 1
+            blk = md.parse_block(btype, body)
+            if btype == fmt.METADATA_TYPE_VORBIS_COMMENT:
+                has_vc = True
+            chain.blocks.insert(insert_at, blk)
+            insert_at += 1
+            dirty = True
+            pos += 4 + length
+    si_sets = (("set_min_blocksize", "min_blocksize"),
+               ("set_max_blocksize", "max_blocksize"),
+               ("set_min_framesize", "min_framesize"),
+               ("set_max_framesize", "max_framesize"),
+               ("set_sample_rate", "sample_rate"),
+               ("set_channels", "channels"),
+               ("set_bps", "bits_per_sample"),
+               ("set_total_samples", "total_samples"))
+    for flag, attr in si_sets:
+        v = getattr(args, flag)
+        if v is not None:
+            setattr(si, attr, v)
+            dirty = True
+    if args.set_md5sum is not None:
+        try:
+            si.md5 = bytes.fromhex(args.set_md5sum)
+            assert len(si.md5) == 16
+        except (ValueError, AssertionError):
+            print(f"{path}: bad --set-md5sum (need 32 hex digits)",
+                  file=sys.stderr)
+            return 1
+        dirty = True
     if args.remove_all:
         chain.blocks = [b for b in chain.blocks
                         if b.TYPE == fmt.METADATA_TYPE_STREAMINFO]
@@ -324,7 +446,8 @@ def process_file(args, path: str) -> int:
         dirty = True
 
     if args.list:
-        list_blocks(chain)
+        list_blocks(chain, only=_block_number_set(args),
+                    data_format=args.data_format)
 
     if dirty:
         chain.write_file(path)

@@ -118,3 +118,78 @@ def test_metaflac_cli(tmp_path):
     # audio survives the in-place edit
     from flac_tpu.ref_decoder import decode_stream
     decode_stream(f.read_bytes())
+
+
+def _mk_flac(tmp_path, tags=()):
+    from flac_tpu import EncoderConfig
+    from flac_tpu.encoder import encode_file_to_flac
+    from flac_tpu import metadata as md
+    from tests.conftest import make_test_signal
+    pcm = make_test_signal(8192)
+    extra = []
+    if tags:
+        vc = md.VorbisCommentBlock()
+        vc.comments.extend(tags)
+        extra.append((vc.TYPE, vc.to_bytes()))
+    stream = encode_file_to_flac(pcm, EncoderConfig.from_preset(2),
+                                 extra_metadata=extra)
+    p = tmp_path / "t.flac"
+    p.write_bytes(stream)
+    return p
+
+
+def test_metaflac_set_tag_from_file(tmp_path):
+    from flac_tpu import metaflac_cli, metadata as md, format as fmt
+    p = _mk_flac(tmp_path)
+    val = tmp_path / "lyrics.txt"
+    val.write_text("line one\nline two\n")
+    assert metaflac_cli.main([f"--set-tag-from-file=LYRICS={val}",
+                              str(p)]) == 0
+    vc = md.Chain.read_file(str(p)).get(fmt.METADATA_TYPE_VORBIS_COMMENT)
+    assert vc.get("LYRICS") == ["line one\nline two"]
+
+
+def test_metaflac_block_number_remove(tmp_path):
+    from flac_tpu import metaflac_cli, metadata as md
+    p = _mk_flac(tmp_path, tags=["A=1"])
+    before = md.Chain.read_file(str(p)).blocks
+    # block #1 is the vorbis comment (inserted right after STREAMINFO)
+    assert metaflac_cli.main(["--remove", "--block-number=1", str(p)]) == 0
+    after = md.Chain.read_file(str(p)).blocks
+    assert len(after) == len(before) - 1
+    types_before = [b.TYPE for b in before]
+    types_after = [b.TYPE for b in after]
+    assert types_before[1] not in types_after or \
+        types_before.count(types_before[1]) > 1
+
+
+def test_metaflac_append_and_streaminfo_setters(tmp_path, monkeypatch):
+    import io
+    import sys as _sys
+    from flac_tpu import metaflac_cli, metadata as md, format as fmt
+    p = _mk_flac(tmp_path)
+    # binary APPLICATION block on stdin
+    body = b"xmpl" + b"hello world"
+    raw = md.block_header(fmt.METADATA_TYPE_APPLICATION, len(body), False) \
+        + body
+    monkeypatch.setattr(_sys, "stdin",
+                        type("S", (), {"buffer": io.BytesIO(raw)})())
+    assert metaflac_cli.main(["--append", str(p)]) == 0
+    chain = md.Chain.read_file(str(p))
+    app = chain.get(fmt.METADATA_TYPE_APPLICATION)
+    assert app is not None and app.app_id == b"xmpl"
+    # streaminfo setter
+    assert metaflac_cli.main(
+        ["--set-md5sum=" + "ab" * 16, str(p)]) == 0
+    assert md.Chain.read_file(str(p)).streaminfo.md5 == b"\xab" * 16
+
+
+def test_metaflac_list_binary_roundtrip(tmp_path, capsysbinary):
+    from flac_tpu import metaflac_cli
+    p = _mk_flac(tmp_path, tags=["X=y"])
+    assert metaflac_cli.main(["--list", "--data-format=binary",
+                              str(p)]) == 0
+    out = capsysbinary.readouterr().out
+    data = p.read_bytes()
+    # the dumped blocks are exactly the file's metadata section
+    assert out == data[4:4 + len(out)]
