@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force-wave64-format", action="store_true")
     p.add_argument("--force-legacy-wave-format", action="store_true",
                    help="(decode) never use WAVEFORMATEXTENSIBLE")
+    p.add_argument("--residual-text", action="store_true",
+                   help="(-a) include residual signal in the analysis")
+    p.add_argument("--residual-gnuplot", action="store_true",
+                   help="(-a) write residual-distribution gnuplot files")
     p.add_argument("--keep-foreign-metadata", action="store_true",
                    help="store/restore non-audio container chunks in "
                    "APPLICATION blocks (foreign_metadata.c)")
@@ -305,11 +309,25 @@ def do_encode(args, path: str) -> int:
         extra.append((vc.TYPE, vc.to_bytes()))
     seektable = make_seektable(args, info.sample_rate, samples.shape[1]) \
         if out is not sys.stdout.buffer else None
+    progress = None
+    if not args.silent and out is not sys.stdout.buffer:
+        nb = (info.bits_per_sample + 7) // 8
+        total = max(samples.shape[1], 1)
+
+        def progress(frames_done, blocksize, bytes_written):
+            # live print_stats analogue (src/flac/encode.c:2729)
+            done = min(frames_done * blocksize, total)
+            ratio = bytes_written / max(done * cfg.channels * nb, 1)
+            print(f"\r{path}: {done * 100 // total}% complete, "
+                  f"ratio={ratio:.3f}", end="", file=sys.stderr)
     enc = StreamEncoder(out, cfg, batch_frames=args.batch_frames,
                         padding=args.padding, extra_metadata=extra,
-                        seektable=seektable, verify=args.verify)
+                        seektable=seektable, verify=args.verify,
+                        progress_callback=progress)
     enc.process(samples)
     st = enc.finish()
+    if progress is not None:
+        print(file=sys.stderr)
     if args.ogg:
         from . import ogg
         sink = (sys.stdout.buffer if out_name == "-"
@@ -571,26 +589,78 @@ def apply_replaygain_on_decode(data: bytes, st, spec: str, path: str):
 
 
 def do_analyze(args, path: str) -> int:
+    """`-a` analysis dump (src/flac/analyze.c): per-frame/subframe model
+    decisions, warmup/coefficients/partition parameters, optional residual
+    text and residual statistics files."""
+    import numpy as np
+
     from .ref_decoder import decode_stream
     data = open(path, "rb").read()
     st = decode_stream(data, verify_md5=False)
     out = open(args.output_name, "w") if args.output_name else sys.stdout
+    all_res = []
     for f in st.frames:
         print(f"frame={f['number']}\toffset={f['offset']}\tbits={f['size']*8}"
               f"\tblocksize={f['blocksize']}\tsample_rate={f['sample_rate']}"
               f"\tchannels={len(f['subframes'])}"
               f"\tchannel_assignment={f['assignment']}", file=out)
         for c, s in enumerate(f["subframes"]):
-            extra = ""
+            line = (f"\tsubframe={c}\twasted_bits={s['wasted']}"
+                    f"\ttype={s['type']}")
+            if s["type"] == "CONSTANT":
+                line += f"\tvalue={s['value']}"
             if s["type"] in ("FIXED", "LPC"):
-                extra = (f"\torder={s['order']}"
+                rtype = "RICE2" if s.get("method") else "RICE"
+                line += f"\torder={s['order']}"
+                if s["type"] == "LPC":
+                    line += (f"\tqlp_coeff_precision={s['precision']}"
+                             f"\tquantization_level={s['shift']}")
+                line += (f"\tresidual_type={rtype}"
                          f"\tpartition_order={s['partition_order']}")
+            print(line, file=out)
             if s["type"] == "LPC":
-                extra += (f"\tqlp_coeff_precision={s['precision']}"
-                          f"\tquantization_level={s['shift']}")
-            print(f"\tsubframe={c}\ttype={s['type']}"
-                  f"\twasted_bits={s['wasted']}{extra}", file=out)
+                for i, q in enumerate(s["qlp"]):
+                    print(f"\t\tqlp_coeff[{i}]={q}", file=out)
+            if s["type"] in ("FIXED", "LPC"):
+                for i, w in enumerate(s["warmup"]):
+                    print(f"\t\twarmup[{i}]={w}", file=out)
+                for i, k in enumerate(s["params"]):
+                    if isinstance(k, tuple):
+                        print(f"\t\tparameter[{i}]=ESCAPE, raw_bits={k[1]}",
+                              file=out)
+                    else:
+                        print(f"\t\tparameter[{i}]={k}", file=out)
+                res = np.asarray(s["residual"])
+                if args.residual_text:
+                    for i, r in enumerate(res):
+                        print(f"\t\tresidual[{i}]={int(r)}", file=out)
+                if args.residual_gnuplot:
+                    all_res.append(res)
+                    _dump_residual_stats(res, f"f{f['number']:06d}.s{c}.gp")
+    if args.residual_gnuplot and all_res:
+        _dump_residual_stats(np.concatenate(all_res), "all")
     return 0
+
+
+def _dump_residual_stats(res, filename: str) -> None:
+    """Residual statistics + gnuplot data (analyze.c init/update/compute/
+    dump_stats): histogram of residual values with mean/stddev header."""
+    import numpy as np
+    res = np.asarray(res, np.float64)
+    n = max(len(res), 1)
+    mean = res.sum() / n
+    variance = (res * res).sum() / n - mean * mean
+    stddev = float(np.sqrt(max(variance, 0.0)))
+    vals, counts = (np.unique(res.astype(np.int64), return_counts=True)
+                    if len(res) else (np.array([], np.int64),
+                                      np.array([], np.int64)))
+    with open(filename, "w") as f:
+        f.write("plot '-' title "
+                f"'{filename}: mean={mean:f} stddev={stddev:f}' "
+                "with impulses\n")
+        for v, cnt in zip(vals, counts):
+            f.write(f"{int(v)} {int(cnt)}\n")
+        f.write("e\n")
 
 
 def main(argv=None) -> int:

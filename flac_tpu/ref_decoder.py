@@ -62,6 +62,7 @@ def _read_subframe(br: BitReader, blocksize: int, bps: int):
         val = br.read_signed(ebps)
         out = np.full(blocksize, val, np.int64)
         info["type"] = "CONSTANT"
+        info["value"] = val
     elif type6 == 1:
         out = np.array([br.read_signed(ebps) for _ in range(blocksize)],
                        np.int64)
@@ -70,12 +71,14 @@ def _read_subframe(br: BitReader, blocksize: int, bps: int):
         order = type6 & 0x07
         info.update(type="FIXED", order=order)
         warm = [br.read_signed(ebps) for _ in range(order)]
+        info["warmup"] = list(warm)
         res = _read_residual(br, blocksize, order, info)
         out = _restore_fixed(np.array(warm, np.int64), res, order, blocksize)
     elif type6 & 0x20:
         order = (type6 & 0x1F) + 1
         info.update(type="LPC", order=order)
         warm = [br.read_signed(ebps) for _ in range(order)]
+        info["warmup"] = list(warm)
         prec = br.read(4) + 1
         if prec == 16:
             raise FlacDecodeError("invalid qlp precision 15")
@@ -130,6 +133,7 @@ def _read_residual(br: BitReader, blocksize: int, order: int, info: dict):
                 u = (q << k) | (br.read(k) if k else 0)
                 res[pos + i] = (u >> 1) ^ -(u & 1)
         pos += n
+    info["residual"] = res[order:]
     return res
 
 
