@@ -390,11 +390,22 @@ def do_decode(args, path: str) -> int:
         start, end = resolve_cue_bounds(data, args.cue)
         args.skip, args.until = str(start), str(end)
     if ogg.is_ogg(data):
-        st = ogg.decode_ogg_flac(data)
-        if args.skip or args.until:
-            start, end = resolve_skip_until(args, st.sample_rate,
-                                            st.samples.shape[1])
-            st.samples = st.samples[:, start:end]
+        if args.skip or args.until or args.cue:
+            # ranged decode through the Ogg seek path: only covering
+            # frame packets are decoded (ogg_decoder_aspect.c seek)
+            from .decoder import parse_metadata
+            link = ogg.unwrap_ogg_flac(data)[0]
+            if args.cue:
+                start, end = resolve_cue_bounds(link.flac, args.cue)
+                args.skip, args.until = str(start), str(end)
+            st0, _ = parse_metadata(link.flac, 4)
+            total = st0.total_samples or link.total_samples
+            start, end = resolve_skip_until(args, st0.sample_rate, total)
+            st = ogg.decode_ogg_flac_range(
+                data, start, end - start,
+                tolerant=args.decode_through_errors)
+        else:
+            st = ogg.decode_ogg_flac(data)
     elif args.skip or args.until:
         # ranged decode through the seek path — only covering frames
         # are decoded (FLAC__stream_decoder_seek_absolute analogue)

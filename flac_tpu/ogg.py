@@ -265,6 +265,8 @@ class OggFlacLink:
     serial: int
     flac: bytes          # reconstructed native FLAC stream
     total_samples: int = 0
+    head_len: int = 0    # bytes of metadata before the first frame
+    frame_offsets: list | None = None   # per-frame byte offsets into flac
 
 
 def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
@@ -284,7 +286,9 @@ def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
                 and packet[1:5] == b"FLAC"):
             if cur is not None:
                 links.append(OggFlacLink(cur_serial, bytes(cur),
-                                         last_granule))
+                                         last_granule,
+                                         head_len if head_len is not None
+                                         else len(cur), frame_offs))
             if packet[5] != MAPPING_VERSION[0]:
                 raise OggError(f"unsupported mapping version {packet[5]}")
             headers_left = int.from_bytes(packet[7:9], "big")
@@ -297,6 +301,7 @@ def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
                 raise OggError("bad first header packet")
             cur = bytearray(body)
             cur_serial = serial
+            head_len, frame_offs = None, []
             # fix STREAMINFO's last-metadata-block flag for the rebuilt
             # native stream: last iff no more header packets follow
             if headers_left:
@@ -324,11 +329,16 @@ def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
             blk[0] = (blk[0] & 0x7F) | (0 if headers_left else 0x80)
             cur += blk
             continue
+        if head_len is None:
+            head_len = len(cur)
+        frame_offs.append(len(cur))
         cur += packet
         if page["granulepos"] != (1 << 64) - 1:
             last_granule = page["granulepos"]
     if cur is not None:
-        links.append(OggFlacLink(cur_serial, bytes(cur), last_granule))
+        links.append(OggFlacLink(cur_serial, bytes(cur), last_granule,
+                                 head_len if head_len is not None
+                                 else len(cur), frame_offs))
     if not links:
         raise OggError("no Ogg FLAC stream found")
     return links
@@ -336,6 +346,55 @@ def unwrap_ogg_flac(data: bytes) -> list[OggFlacLink]:
 
 def is_ogg(data: bytes) -> bool:
     return data[:4] == _MAGIC
+
+
+def decode_ogg_flac_range(data: bytes, start_sample: int, n_samples: int,
+                          **kw):
+    """Ranged Ogg FLAC decode (the seek path the reference implements in
+    ogg_decoder_aspect.c/ogg_helper.c): only the frame packets covering
+    [start_sample, start_sample + n_samples) are decoded.
+
+    Ogg FLAC packets map 1:1 to frames, so the packet index built during
+    demux gives exact frame boundaries; the selected frames plus the
+    metadata head form a valid native stream (the strict scanner accepts
+    any first frame number).  Returns a DecodedStream whose samples are
+    exactly the requested range of the FIRST link.
+    """
+    from .decoder import decode_stream_tpu, parse_frame_header, \
+        parse_metadata
+
+    link = unwrap_ogg_flac(data)[0]
+    st0, _ = parse_metadata(link.flac, 4)
+    offs = link.frame_offsets or []
+    # sample start of each frame from its header (fixed-blocksize streams
+    # carry the frame number, variable carry the sample number)
+    starts, sizes = [], []
+    for o in offs:
+        h = parse_frame_header(link.flac, o, st0)
+        if h is None:
+            raise OggError(f"bad frame packet at offset {o}")
+        # fixed-blocksize frames are numbered by frame index; position
+        # uses the STREAM blocksize (the last partial frame is shorter)
+        starts.append(h["number"] * (1 if h["variable"]
+                                     else st0.min_blocksize))
+        sizes.append(h["blocksize"])
+    end_sample = start_sample + n_samples
+    sel = [i for i in range(len(offs))
+           if starts[i] + sizes[i] > start_sample
+           and starts[i] < end_sample]
+    if not sel:
+        st = decode_stream_tpu(link.flac, verify_md5=False, **kw)
+        st.samples = st.samples[:, :0]
+        return st
+    sub = link.flac[:link.head_len] + b"".join(
+        link.flac[offs[i]:offs[i] + (
+            offs[i + 1] - offs[i] if i + 1 < len(offs)
+            else len(link.flac) - offs[i])]
+        for i in sel)
+    st = decode_stream_tpu(sub, verify_md5=False, **kw)
+    lo = start_sample - starts[sel[0]]
+    st.samples = st.samples[:, lo:lo + n_samples]
+    return st
 
 
 def decode_ogg_flac(data: bytes, **kw):

@@ -142,3 +142,25 @@ def test_ogg_resync_after_garbage():
     # prepend junk: reader must resync on the capture pattern
     st = ogg.decode_ogg_flac(b"JUNK" * 10 + data)
     assert np.array_equal(st.samples, pcm)
+
+
+def test_ogg_ranged_decode_seek_path():
+    """--skip/--until on Ogg FLAC decodes only covering packets
+    (ogg_decoder_aspect.c seek analogue)."""
+    import numpy as np
+    from flac_tpu import ogg
+    from tests.conftest import make_test_signal
+    from flac_tpu import EncoderConfig
+    from flac_tpu.encoder import encode_file_to_flac
+    import io
+    pcm = make_test_signal(4096 * 4 + 100)
+    flac = encode_file_to_flac(pcm, EncoderConfig.from_preset(3))
+    buf = io.BytesIO()
+    ogg.wrap_flac_stream(flac, buf)
+    data = buf.getvalue()
+    start, n = 5000, 6000
+    st = ogg.decode_ogg_flac_range(data, start, n)
+    assert np.array_equal(st.samples, pcm[:, start:start + n])
+    # range past the end clips naturally
+    st2 = ogg.decode_ogg_flac_range(data, pcm.shape[1] - 10, 100)
+    assert np.array_equal(st2.samples, pcm[:, -10:])
