@@ -112,6 +112,76 @@ def encode_batch_trimmed(pcm, first_frame_number, cfg: EncoderConfig,
     return main, rest
 
 
+@functools.partial(jax.jit, static_argnames=("widen",))
+def encode_widen(pcm16, widen: bool):
+    """Device-side int16 -> int32 widen so 16-bit sources cross the link at
+    half width (kept out of encode_batch so its trace stays dtype-stable)."""
+    return pcm16.astype(jnp.int32) if widen else pcm16
+
+
+@jax.jit
+def _concat_lens(lens_list):
+    return jnp.concatenate(lens_list, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _slice_concat(words_list, k: int):
+    """Stack per-batch word rows trimmed to k words — one trivial
+    executable per (G, 256-word bucket of k), so the big fetch moves ~the
+    compressed bytes instead of the padded rows."""
+    return jnp.concatenate([w[:, :k] for w in words_list], axis=0)
+
+
+class _SuperJob:
+    """An in-flight super-chunk: lengths fetch -> exact slice fetch.
+
+    Holds the padded per-frame word rows of several batches ON DEVICE; only
+    the byte lengths come back eagerly (tiny).  Once lengths land, one
+    256-word-bucketed slice-concat fetch moves ~the compressed bytes in a
+    single big transfer.  Two transfers per super-chunk instead of one per
+    batch keeps the tunnel link free: RPC chatter is what collapses the
+    measured device->host bandwidth from ~59 MB/s to ~21 MB/s when
+    dispatches interleave with transfers.
+    """
+
+    __slots__ = ("enc", "words_list", "lens_fut", "lens", "mb", "N", "base",
+                 "blocks", "slice_fut")
+
+    def __init__(self, enc, words_list, lens_fut, mb, N, base, blocks):
+        self.enc = enc
+        self.words_list = words_list
+        self.lens_fut = lens_fut
+        self.lens = None
+        self.mb = mb
+        self.N = N
+        self.base = base
+        self.blocks = blocks
+        self.slice_fut = None
+
+    def poll(self):
+        """Start the slice fetch as soon as lengths are available."""
+        if self.slice_fut is None and self.lens_fut.done():
+            self._start_slice()
+
+    def _start_slice(self):
+        self.lens = np.asarray(self.lens_fut.result())[:self.mb] \
+            .astype(np.int64)
+        kw = (int(self.lens.max()) + 3) // 4
+        kb = min(-(-kw // 256) * 256, self.words_list[0].shape[1])
+        ws = _slice_concat(tuple(self.words_list), kb)
+        try:
+            ws.copy_to_host_async()
+        except AttributeError:
+            pass
+        self.slice_fut = self.enc._fetch_pool.submit(np.asarray, ws)
+        self.words_list = None            # release the padded device rows
+
+    def wait(self):
+        if self.slice_fut is None:
+            self._start_slice()
+        return self.slice_fut.result(), self.lens
+
+
 def default_fetch_words(N: int, C: int, bps: int) -> int:
     """Trim point for encode_batch_trimmed: generous vs typical compression
     (~0.5-0.8 of raw for real audio) so remainder fetches stay rare, far
@@ -185,7 +255,7 @@ class StreamEncoder:
     def __init__(self, out, cfg: EncoderConfig, *, batch_frames: int = 64,
                  padding: int = 4096, extra_metadata: list | None = None,
                  seektable=None, verify: bool = False,
-                 pipeline_depth: int = 3,
+                 pipeline_depth: int = 6, super_batches: int = 8,
                  progress_callback=None):
         self.out = out
         self.cfg = cfg.resolve()
@@ -204,7 +274,16 @@ class StreamEncoder:
         self._frame_index = []            # (first_sample, offset, blocksize)
         self._first_frame_offset = None
         self._pipeline_depth = max(1, pipeline_depth)
+        self._super_batches = max(1, super_batches)
+        self._super_depth = 2             # super-chunks in flight
         self._inflight = []               # FIFO of dispatched batches
+        # Device->host copies over the tunnel run at ~28 MB/s serially but
+        # ~52 MB/s when several are in flight (the link multiplexes); a
+        # small pool fetches batches concurrently while writes stay ordered
+        from concurrent.futures import ThreadPoolExecutor
+        # 3 concurrent data fetches + 1 slot so a blocking lengths fetch
+        # (waits on device compute) can't starve the slice fetches
+        self._fetch_pool = ThreadPoolExecutor(max_workers=4)
         self._progress = progress_callback
         self._bytes_written = 0
         self._md5_queue, self._md5_thread, self._md5_err = None, None, None
@@ -274,6 +353,7 @@ class StreamEncoder:
 
     def _drain(self, final: bool):
         N = self.blocksize
+        B = self.batch_frames
         while True:
             if final:
                 avail = self._buf.shape[1] // N
@@ -284,7 +364,17 @@ class StreamEncoder:
                 avail = max(0, (self._buf.shape[1] - 1) // N)
             if avail == 0:
                 break
-            nb = min(avail, self.batch_frames)
+            if avail >= B:
+                # full batches ride the super-chunk path: one upload per
+                # up to `super_batches` batches, per-batch device slices
+                mb = min(avail // B, self._super_batches) * B
+                chunk = self._buf[:, :mb * N]
+                self._buf = self._buf[:, mb * N:]
+                blocks = chunk.reshape(self.cfg.channels, mb, N).transpose(
+                    1, 0, 2)
+                self._emit_super(blocks, N)
+                continue
+            nb = min(avail, B)
             chunk = self._buf[:, :nb * N]
             self._buf = self._buf[:, nb * N:]
             blocks = chunk.reshape(self.cfg.channels, nb, N).transpose(
@@ -295,6 +385,44 @@ class StreamEncoder:
                 1, 0, 2)
             self._emit(blocks, self._buf.shape[1])
             self._buf = self._buf[:, :0]
+
+    def _emit_super(self, blocks: np.ndarray, N: int):
+        """blocks: [G*B, C, N] int32, G >= 1 full batches — per-batch
+        dispatches whose padded word rows STAY on device; only the lengths
+        and one exact bucketed slice-concat come back (see _SuperJob)."""
+        B = self.batch_frames
+        mb, C, _ = blocks.shape
+        G = mb // B
+        narrow = self.cfg.bits_per_sample <= 16
+        words_list, lens_list = [], []
+        for g in range(G):
+            sub = blocks[g * B:(g + 1) * B]
+            dev = jax.device_put(sub.astype(np.int16) if narrow else sub)
+            pf = encode_batch(encode_widen(dev, narrow),
+                              np.int64(self._frame_number + g * B),
+                              self.cfg, N)
+            words_list.append(pf.words)
+            lens_list.append(pf.byte_len)
+            self._poll_supers()
+        lens = _concat_lens(tuple(lens_list)) if G > 1 else lens_list[0]
+        try:
+            lens.copy_to_host_async()
+        except AttributeError:
+            pass
+        lens_fut = self._fetch_pool.submit(np.asarray, lens)
+        job = _SuperJob(self, words_list, lens_fut, mb, N,
+                        self._frame_number,
+                        blocks if self.verify else None)
+        self._inflight.append(("s", job))
+        self._frame_number += mb
+        self._poll_supers()
+        while len(self._inflight) > self._super_depth:
+            self._drain_one_inflight()
+
+    def _poll_supers(self):
+        for entry in self._inflight:
+            if entry[0] == "s":
+                entry[1].poll()
 
     def _emit(self, blocks: np.ndarray, N: int):
         """blocks: [B, C, N] int32 — dispatch one batch, keep the pipeline
@@ -311,16 +439,29 @@ class StreamEncoder:
             main.copy_to_host_async()
         except AttributeError:          # non-jax array in exotic backends
             pass
+        fut = self._fetch_pool.submit(np.asarray, main)
         self._inflight.append(
-            (main, rest, blocks if self.verify else None, B, N,
+            ("b", fut, rest, blocks if self.verify else None, B, N,
              self._frame_number))
         self._frame_number += B
+        self._poll_supers()
         while len(self._inflight) > self._pipeline_depth:
             self._drain_one_inflight()
 
     def _drain_one_inflight(self):
-        main, rest, blocks, B, N, base_frame = self._inflight.pop(0)
-        buf = np.asarray(main)
+        self._poll_supers()
+        entry = self._inflight.pop(0)
+        if entry[0] == "s":
+            job = entry[1]
+            buf, lens = job.wait()
+            B, N, base_frame, blocks = job.mb, job.N, job.base, job.blocks
+            wbytes = buf[:B].astype(">u4", order="C").view(np.uint8) \
+                .reshape(B, -1)
+            self._poll_supers()
+            self._write_frames(wbytes, lens, blocks, B, N, base_frame)
+            return
+        _, fut, rest, blocks, B, N, base_frame = entry
+        buf = fut.result()
         lens = buf[:, 0].astype(np.int64)
         fw = buf.shape[1] - 1
         wbytes = buf[:, 1:].astype(">u4", order="C").view(np.uint8) \
@@ -337,6 +478,9 @@ class StreamEncoder:
                 raise RuntimeError(
                     f"frame exceeded worst-case pack buffer: "
                     f"{int(lens.max())} > {wbytes.shape[1]} (encoder bug)")
+        self._write_frames(wbytes, lens, blocks, B, N, base_frame)
+
+    def _write_frames(self, wbytes, lens, blocks, B, N, base_frame):
         if self._native:
             blob = self._native.gather_frames(wbytes, lens)
         else:
@@ -427,6 +571,7 @@ class StreamEncoder:
             self._drain_one_inflight()
         self._md5_queue.put(None)
         self._md5_thread.join()
+        self._fetch_pool.shutdown(wait=False)
         if self._md5_err is not None:
             raise self._md5_err
         self._info.md5 = self._md5.digest()
