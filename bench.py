@@ -1,38 +1,39 @@
 #!/usr/bin/env python
-"""Benchmark: FLAC -8 encode throughput on TPU vs single-core libFLAC.
+"""Benchmark: FLAC -8 encode + decode throughput on TPU vs single-core
+libFLAC, self-anchoring.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+stdout: ONE JSON line
+  {"metric": "encode_throughput_flac8_1chip", "value": N, "unit": "GB/s",
+   "vs_baseline": N}
+stderr: a decode-metric JSON line (same schema) + an extras JSON line.
 
-value       = our encode throughput in GB/s of input PCM on this chip
-vs_baseline = ratio vs single-core `flac -8` (reference binary built by
-              tools/build_reference.sh; a recorded fallback rate is used
-              if the binary is missing).
+The bench is self-checking:
+  - the reference binary is built from /root/reference if missing and the
+    bench FAILS if it cannot be built (no fallback constants);
+  - the timed super-chunk output itself is decoded and must match the
+    input bit-exactly (MD5-verified);
+  - our compressed size must be <= libFLAC's at the same preset
+    (test_compression.sh:34-46 is the reference's analogous gate).
 
-Measures the REAL product path (StreamEncoder: super-chunk dispatch,
-lengths-first exact fetch, MD5 worker, ordered stream assembly), after
-one warm-up pass that pays the one-time costs a production process pays
-once: jit compiles and the tunnel's cold device->host path (~17-76 s on
-first use, measured).  Correctness is asserted on the way: the produced
-stream must decode bit-exactly and must not exceed libFLAC's size.
+Measures the REAL product paths: encode = StreamEncoder super-chunk
+dispatch, lengths-first exact fetch, MD5 worker, ordered assembly;
+decode = native bit-parse + batched device restore (decoder_fast).
+One warm-up pass pays the one-time costs a production process pays once
+(jit compiles; the tunnel's cold d2h path, reported as cold_start_s).
 """
 
 import json
 import os
 import subprocess
 import sys
-import tempfile
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
-REFERENCE_FLAC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".ref_build/src/flac/flac")
-# measured on this machine if the binary is present; else this recorded
-# single-core rate (bytes of 16-bit PCM per second) is used
-FALLBACK_FLAC8_BPS = 27.9e6
+REFERENCE_FLAC = os.path.join(ROOT, ".ref_build/src/flac/flac")
 
 PRESET = 8
 RATE = 44100
@@ -56,79 +57,130 @@ def make_corpus(n_blocks: int) -> np.ndarray:
     return np.round(np.clip(sig * env * 0.6, -1, 1) * 32767).astype(np.int32)
 
 
-def warm_tunnel():
+def ensure_reference() -> str:
+    """Locate or build the reference flac binary; fail loudly otherwise."""
+    if os.path.exists(REFERENCE_FLAC):
+        return REFERENCE_FLAC
+    script = os.path.join(ROOT, "tools", "build_reference.sh")
+    print("building reference binary...", file=sys.stderr)
+    r = subprocess.run(["bash", script], capture_output=True, text=True)
+    if r.returncode != 0 or not os.path.exists(REFERENCE_FLAC):
+        raise RuntimeError(
+            f"reference build FAILED (rc={r.returncode}):\n{r.stdout}\n"
+            f"{r.stderr}\nbench refuses to run without its anchor")
+    return REFERENCE_FLAC
+
+
+def warm_tunnel() -> float:
     """One-time d2h path spin-up: the first computed-array fetch after
     process start costs 17-76 s regardless of size (measured); every
-    fetch after it runs at link speed."""
+    fetch after it runs at link speed.  Returns the cold-start seconds."""
     import jax
+    t0 = time.perf_counter()
     f = jax.jit(lambda x, s: x + s)
     dv = jax.device_put(np.zeros((4 << 20,), np.uint8))
     for r in range(2):
         np.asarray(f(dv, np.uint8(r)))
+    return time.perf_counter() - t0
 
 
-def bench_ours(pcm: np.ndarray) -> tuple[float, int]:
+def bench_ours_encode(pcm: np.ndarray) -> tuple[float, bytes]:
     from flac_tpu import EncoderConfig, encode_file_to_flac
 
     cfg = EncoderConfig.from_preset(PRESET).resolve()
     kw = dict(batch_frames=B_BATCH, super_batches=SUPER, pipeline_depth=6)
-    warm_tunnel()
     # pass 1: compiles + warms every shape on the hot path
     out = encode_file_to_flac(pcm, cfg, **kw)
-    # measured passes (steady-state product path)
     best = float("inf")
     for _ in range(2):
-        t0 = time.time()
+        t0 = time.perf_counter()
         out = encode_file_to_flac(pcm, cfg, **kw)
-        best = min(best, time.time() - t0)
-    pcm_bytes = pcm.shape[1] * 2 * 2     # 16-bit stereo
-    # correctness spot check: decode a slice bit-exactly
-    sample = pcm[:, :RATE * 2]
-    stream = encode_file_to_flac(sample, cfg, batch_frames=32)
+        best = min(best, time.perf_counter() - t0)
+    return pcm.shape[1] * 2 * 2 / best, out
+
+
+def bench_ours_decode(stream: bytes, pcm: np.ndarray) -> float:
+    """Decode the timed encode's own output (fast engine), MD5-verified;
+    asserts bit-exactness against the source PCM."""
     from flac_tpu.decoder import decode_stream_tpu
-    st = decode_stream_tpu(stream)
-    assert np.array_equal(st.samples, sample), "roundtrip mismatch"
-    return pcm_bytes / best, len(out)
+    st = decode_stream_tpu(stream)          # warm-up + correctness gate
+    assert np.array_equal(st.samples, pcm), \
+        "BENCH FAILURE: timed super-chunk stream did not round-trip"
+    assert st.md5_ok
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        st = decode_stream_tpu(stream)
+        best = min(best, time.perf_counter() - t0)
+    return pcm.shape[1] * 2 * 2 / best
 
 
-def bench_reference(pcm: np.ndarray) -> tuple[float, int]:
-    """Single-core flac -8 throughput (bytes PCM/s) and compressed size."""
+def bench_reference(pcm: np.ndarray, flac_bin: str,
+                    our_stream: bytes) -> tuple[float, float, int]:
+    """Single-core flac -8 encode/decode rates (bytes PCM/s) + size."""
+    import tempfile
     from flac_tpu.container import write_wav
-    if not os.path.exists(REFERENCE_FLAC):
-        return FALLBACK_FLAC8_BPS, 0
     with tempfile.TemporaryDirectory() as d:
         wav = os.path.join(d, "in.wav")
         out = os.path.join(d, "out.flac")
         with open(wav, "wb") as f:
             f.write(write_wav(pcm, RATE, 16))
-        t0 = time.time()
-        subprocess.run([REFERENCE_FLAC, "-f", "-s", f"-{PRESET}",
-                        "-o", out, wav], check=True, capture_output=True)
-        dt = time.time() - t0
+        t0 = time.perf_counter()
+        subprocess.run([flac_bin, "-f", "-s", f"-{PRESET}", "-o", out, wav],
+                       check=True, capture_output=True)
+        dt_enc = time.perf_counter() - t0
         size = os.path.getsize(out)
-    return pcm.nbytes // 2 / dt, size
+        back = os.path.join(d, "back.wav")
+        t0 = time.perf_counter()
+        subprocess.run([flac_bin, "-d", "-f", "-s", "-o", back, out],
+                       check=True, capture_output=True)
+        dt_dec = time.perf_counter() - t0
+        # cross-acceptance: the reference must also accept OUR stream
+        ours = os.path.join(d, "ours.flac")
+        with open(ours, "wb") as f:
+            f.write(our_stream)
+        r = subprocess.run([flac_bin, "-t", "-s", ours], capture_output=True)
+        assert r.returncode == 0, \
+            f"BENCH FAILURE: flac -t rejected our stream: {r.stderr!r}"
+    pcm_bytes = pcm.shape[1] * 2 * 2
+    return pcm_bytes / dt_enc, pcm_bytes / dt_dec, size
 
 
 def main() -> None:
+    flac_bin = ensure_reference()
     pcm = make_corpus(N_BLOCKS)
-    ours_bps, ours_size = bench_ours(pcm)
-    ref_bps, ref_size = bench_reference(pcm)
-    result = {
-        "metric": f"encode_throughput_flac{PRESET}_1chip",
-        "value": round(ours_bps / 1e9, 4),
-        "unit": "GB/s PCM",
-        "vs_baseline": round(ours_bps / ref_bps, 2),
-    }
-    print(json.dumps(result))
-    # extra diagnostics on stderr (driver records stdout JSON only)
+    cold_s = warm_tunnel()
+    enc_bps, stream = bench_ours_encode(pcm)
+    dec_bps = bench_ours_decode(stream, pcm)
+    ref_enc_bps, ref_dec_bps, ref_size = bench_reference(
+        pcm, flac_bin, stream)
+    assert len(stream) <= ref_size, (
+        f"BENCH FAILURE: our -{PRESET} stream is LARGER than libFLAC's "
+        f"({len(stream)} > {ref_size})")
     extras = {
-        "ref_single_core_MBps": round(ref_bps / 1e6, 1),
-        "ours_MBps": round(ours_bps / 1e6, 1),
-        "ours_realtime_x": round(ours_bps / (2 * 2 * RATE), 0),
-        "compressed_size_ours": ours_size,
+        "baseline_source": "measured",
+        "ref_encode_MBps_1core": round(ref_enc_bps / 1e6, 1),
+        "ref_decode_MBps_1core": round(ref_dec_bps / 1e6, 1),
+        "ours_encode_MBps": round(enc_bps / 1e6, 1),
+        "ours_decode_MBps": round(dec_bps / 1e6, 1),
+        "ours_realtime_x": round(enc_bps / (2 * 2 * RATE), 0),
+        "compressed_size_ours": len(stream),
         "compressed_size_ref": ref_size,
+        "cold_start_s": round(cold_s, 1),
     }
     print(json.dumps(extras), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"decode_throughput_flac{PRESET}_1chip",
+        "value": round(dec_bps / 1e9, 4),
+        "unit": "GB/s PCM",
+        "vs_baseline": round(dec_bps / ref_dec_bps, 2),
+    }), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"encode_throughput_flac{PRESET}_1chip",
+        "value": round(enc_bps / 1e9, 4),
+        "unit": "GB/s PCM",
+        "vs_baseline": round(enc_bps / ref_enc_bps, 2),
+    }))
 
 
 if __name__ == "__main__":

@@ -101,6 +101,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-foreign-metadata-if-present", action="store_true",
                    help="like --keep-foreign-metadata but silently skip "
                    "when the input has none")
+    p.add_argument("--picture", action="append", default=[],
+                   metavar="SPECIFICATION",
+                   help="import picture into PICTURE block(s) "
+                        "([TYPE]|MIME|[DESC]|[WxHxD[/COLORS]]|FILE)")
+    p.add_argument("--ignore-chunk-sizes", action="store_true",
+                   help="ignore data chunk sizes in WAVE/AIFF; read to EOF")
+    p.add_argument("--delete-input-file", action="store_true",
+                   help="delete the input file after a successful encode"
+                        "/decode")
+    p.add_argument("--preserve-modtime", dest="preserve_modtime",
+                   action="store_true", default=True,
+                   help="output files keep the input's timestamp (default)")
+    p.add_argument("--no-preserve-modtime", dest="preserve_modtime",
+                   action="store_false")
     p.add_argument("--force-raw-format", action="store_true")
     p.add_argument("--channels", type=int, help="(raw input) channel count")
     p.add_argument("--bps", type=int, help="(raw input) bits per sample")
@@ -233,7 +247,26 @@ def _read_input(path: str, args):
             data, sample_rate=args.sample_rate, channels=args.channels,
             bits_per_sample=args.bps, big_endian=args.endian == "big",
             signed=args.sign == "signed"), data
+    if getattr(args, "ignore_chunk_sizes", False):
+        if args.until or args.cue:
+            raise SystemExit(
+                "--ignore-chunk-sizes not allowed with --until/--cue")
+        return container.sniff_and_read(data, True), data
     return container.sniff_and_read(data), data
+
+
+def _finalize_files(args, in_path: str, out_name: str) -> None:
+    """--preserve-modtime (default on) + --delete-input-file semantics
+    after a successful conversion (main.c:1787,2047)."""
+    import os
+    if in_path == "-" or out_name == "-":
+        return
+    if args.preserve_modtime and os.path.exists(out_name) \
+            and os.path.exists(in_path):
+        s = os.stat(in_path)
+        os.utime(out_name, (s.st_atime, s.st_mtime))
+    if args.delete_input_file and os.path.exists(in_path):
+        os.remove(in_path)
 
 
 def do_encode(args, path: str) -> int:
@@ -267,11 +300,15 @@ def do_encode(args, path: str) -> int:
         path.rsplit(".", 1)[0] + (".oga" if args.ogg else ".flac")
         if path != "-" else "-")
     t0 = time.time()
+    real_out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
     if args.ogg:
-        import io
-        out = io.BytesIO()
+        # streaming Ogg encode: pages go out as frame batches land
+        # (ogg_encoder_aspect.c:113-230); peak RSS is independent of
+        # input length
+        from . import ogg
+        out = ogg.OggFlacSink(real_out, serial=args.serial_number)
     else:
-        out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
+        out = real_out
     extra = []
     extra.extend(foreign_blocks)
     if info.metadata:
@@ -288,6 +325,13 @@ def do_encode(args, path: str) -> int:
         except CueSheetParseError as e:
             raise SystemExit(f"{args.cuesheet}: {e}")
         extra.append((cue.TYPE, cue.to_bytes()))
+    for spec in args.picture:
+        from . import metadata as md
+        try:
+            pic = md.PictureBlock.from_specification(spec)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--picture: {e}")
+        extra.append((pic.TYPE, pic.to_bytes()))
     if args.tag or args.replay_gain:
         from . import metadata as md
         vc = md.VorbisCommentBlock()
@@ -308,9 +352,9 @@ def do_encode(args, path: str) -> int:
                 vc.comments.append(f"{k}={v}")
         extra.append((vc.TYPE, vc.to_bytes()))
     seektable = make_seektable(args, info.sample_rate, samples.shape[1]) \
-        if out is not sys.stdout.buffer else None
+        if real_out is not sys.stdout.buffer else None
     progress = None
-    if not args.silent and out is not sys.stdout.buffer:
+    if not args.silent and real_out is not sys.stdout.buffer:
         nb = (info.bits_per_sample + 7) // 8
         total = max(samples.shape[1], 1)
 
@@ -329,21 +373,17 @@ def do_encode(args, path: str) -> int:
     if progress is not None:
         print(file=sys.stderr)
     if args.ogg:
-        from . import ogg
-        sink = (sys.stdout.buffer if out_name == "-"
-                else open(out_name, "wb"))
-        ogg.wrap_flac_stream(out.getvalue(), sink,
-                             serial=args.serial_number)
-        out = sink
-    if out is not sys.stdout.buffer:
-        size = out.tell()
-        out.close()
+        out.finalize()
+    if real_out is not sys.stdout.buffer:
+        size = real_out.tell()
+        real_out.close()
         dt = time.time() - t0
         raw = samples.size * ((info.bits_per_sample + 7) // 8)
         if not args.silent:
             print(f"{path}: wrote {out_name} ratio={size/raw:.3f} "
                   f"({samples.shape[1]/info.sample_rate/dt:.1f}x "
                   f"realtime)", file=sys.stderr)
+    _finalize_files(args, path, out_name)
     return 0
 
 
@@ -461,6 +501,7 @@ def do_decode(args, path: str) -> int:
             if not args.silent:
                 print(f"{path}: done (foreign metadata restored)",
                       file=sys.stderr)
+            _finalize_files(args, path, out_name)
             return 0
     fmt_name = decode_output_format(args)
     out_name = args.output_name or (
@@ -472,6 +513,7 @@ def do_decode(args, path: str) -> int:
         open(out_name, "wb").write(payload)
     if not args.silent:
         print(f"{path}: done", file=sys.stderr)
+    _finalize_files(args, path, out_name)
     return 0
 
 

@@ -70,7 +70,7 @@ def _pcm_to_bytes(pcm: np.ndarray, bps: int, big_endian: bool = False,
 # WAV / RF64
 # ---------------------------------------------------------------------------
 
-def read_wav(data: bytes) -> AudioInfo:
+def read_wav(data: bytes, ignore_chunk_sizes: bool = False) -> AudioInfo:
     if data[:4] not in (b"RIFF", b"RF64"):
         raise ContainerError("not a RIFF/RF64 file")
     is_rf64 = data[:4] == b"RF64"
@@ -93,6 +93,11 @@ def read_wav(data: bytes) -> AudioInfo:
                 sub = struct.unpack("<H", body[24:26])[0]
                 fmt_info = (sub, *fmt_info[1:5], valid_bits or fmt_info[5])
         elif cid == b"data":
+            if ignore_chunk_sizes:
+                # --ignore-chunk-sizes (encode.c): trust EOF, not the
+                # header — for streams piped with a bogus/0 data size
+                data_chunk = data[pos + 8:]
+                break
             if is_rf64 and csize == 0xFFFFFFFF:
                 csize = ds64_data_size
                 body = data[pos + 8:pos + 8 + csize]
@@ -218,7 +223,7 @@ def _int_to_f80(v: int) -> bytes:
     return struct.pack(">HQ", 16383 + exp, mant)
 
 
-def read_aiff(data: bytes) -> AudioInfo:
+def read_aiff(data: bytes, ignore_chunk_sizes: bool = False) -> AudioInfo:
     if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
         raise ContainerError("not an AIFF file")
     is_aifc = data[8:12] == b"AIFC"
@@ -243,6 +248,9 @@ def read_aiff(data: bytes) -> AudioInfo:
             comm = (channels, nframes, bps, rate)
         elif cid == b"SSND":
             offset = struct.unpack(">I", body[:4])[0]
+            if ignore_chunk_sizes:
+                ssnd = data[pos + 16 + offset:]
+                break
             ssnd = body[8 + offset:]
         pos += 8 + csize + (csize & 1)
     if comm is None or ssnd is None:
@@ -339,11 +347,12 @@ def read_flac_input(data: bytes) -> AudioInfo:
                      np.asarray(st.samples), metadata=meta)
 
 
-def sniff_and_read(data: bytes) -> AudioInfo:
+def sniff_and_read(data: bytes, ignore_chunk_sizes: bool = False) \
+        -> AudioInfo:
     if data[:4] in (b"RIFF", b"RF64"):
-        return read_wav(data)
+        return read_wav(data, ignore_chunk_sizes)
     if data[:4] == b"FORM":
-        return read_aiff(data)
+        return read_aiff(data, ignore_chunk_sizes)
     if data[:16] == _W64_RIFF:
         return read_w64(data)
     if data[:4] == b"fLaC" or data[:4] == b"OggS":

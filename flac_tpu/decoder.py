@@ -479,7 +479,8 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
 def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
                       *, verify_crc: bool = True,
                       max_batch: int = 512,
-                      on_crc_error: str = "raise") -> list[np.ndarray]:
+                      on_crc_error: str = "raise",
+                      engine: str = "auto") -> list[np.ndarray]:
     """Batched device decode of an explicit frame-header list.
 
     Each entry needs offset/size/assignment/bps/channels/blocksize (as
@@ -491,7 +492,23 @@ def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
     leaves the bad frame's slot as None and records the frame number in
     st.errors — the resync-and-continue behavior of the reference
     (stream_decoder.c:2476-2480, error callback + SEARCH_FOR_FRAME_SYNC).
+
+    engine: "auto" = native bit-parse + device restore when the native
+    library is available (decoder_fast), falling back to the all-device
+    scan decoder; "fast" forces the former, "host" the all-CPU path,
+    "scan" the all-device per-sample scan (the correctness oracle).
     """
+    from . import native as _native
+    if engine in ("auto", "fast") and _native.AVAILABLE and frames:
+        from .decoder_fast import decode_frame_list_fast
+        return decode_frame_list_fast(
+            data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
+            on_crc_error=on_crc_error)
+    if engine == "host" and _native.AVAILABLE:
+        from .decoder_fast import decode_frame_list_host
+        return decode_frame_list_host(
+            data, st, frames, verify_crc=verify_crc,
+            on_crc_error=on_crc_error)
     results: list[np.ndarray | None] = [None] * len(frames)
     # group equal-shape frames for batched decode
     groups: dict[tuple, list[int]] = {}
@@ -593,7 +610,8 @@ def decode_frames_selected(data: bytes, st: DecodedStream,
 def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
                       verify_crc: bool = True,
                       max_batch: int = 512,
-                      tolerant: bool = False) -> DecodedStream:
+                      tolerant: bool = False,
+                      engine: str = "auto") -> DecodedStream:
     """Full stream decode with batched device subframe decoding.
 
     tolerant=True enables the reference's error-recovery behaviors
@@ -623,9 +641,25 @@ def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
         st.samples = np.zeros((max(st.channels, 1), 0), np.int32)
         return st
 
-    results = decode_frame_list(
-        data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
-        on_crc_error="drop" if tolerant else "raise")
+    try:
+        results = decode_frame_list(
+            data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
+            on_crc_error="drop" if tolerant else "raise", engine=engine)
+    except FlacDecodeError:
+        if tolerant:
+            raise
+        # strict-mode false-sync recovery: a payload byte pattern that
+        # scans as a valid next header truncates the real frame; re-find
+        # true frame extents by decode (stream_decoder.c:2443-2480's
+        # decode-then-CRC16 rejection) and retry once
+        from .decoder_fast import repair_frame_table
+        repaired = repair_frame_table(data, st, frames)
+        if repaired == frames:
+            raise
+        frames = st.frames = repaired
+        results = decode_frame_list(
+            data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
+            on_crc_error="raise", engine=engine)
 
     if tolerant:
         st.samples = _assemble_with_concealment(st, frames, results)

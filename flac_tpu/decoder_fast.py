@@ -1,0 +1,372 @@
+"""Fast batched decoder: native bit-parse (phase 1) + uniform device
+LPC restore (phase 2).
+
+The reference decodes pull-style, one frame at a time, fusing bit reading
+with prediction (stream_decoder.c:3000-3420 read_subframe_*,
+bitreader.c:834 Rice reads, lpc.c:978 restore).  A TPU cannot vectorize
+the bit-serial part (every Rice code's length is data-dependent), so this
+pipeline splits the work where the hardware boundary is:
+
+  phase 1 (host, C++): ft_parse_frames walks each frame's bits once,
+    extracting residuals/coefficients and CRC-16-verifying the trailer.
+    Every subframe type is normalized to a single uniform LPC-restore
+    form (constant -> order-1 tap {1}; fixed -> its taps, shift 0;
+    verbatim -> order 0; warmup -> res[0..order)), so phase 2 needs no
+    per-type control flow.  Frames parse independently -> thread pool.
+
+  phase 2 (device): ONE jitted restore scan, vectorized over every
+    subframe of the batch: x[n] = res[n] + ((sum c_i * x[n-i]) >> shift),
+    `unroll` samples per scan step so step dispatch overhead amortizes;
+    stereo undo + wasted-bits shift + output narrowing stay on device so
+    the fetch moves exactly PCM-sized data.
+
+Batches pipeline: while the device restores batch i, the host parses
+batch i+1 (jax dispatch is async; the fetch is the only sync point).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import format as fmt
+from . import native
+from .ref_decoder import DecodedStream, FlacDecodeError
+
+# compile-key buckets: subframe count is padded to a power of two and the
+# restore loop length to one of these, so arbitrary batch shapes reuse a
+# handful of compiled programs
+_ORDER_BUCKETS = (1, 2, 4, 8, 12, 16, 32)
+
+
+def _bucket_order(mo: int) -> int:
+    for b in _ORDER_BUCKETS:
+        if mo <= b:
+            return b
+    return 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blocksize", "channels", "max_order", "unroll",
+                     "wide", "out16"))
+def restore_and_undo(res, order, shift, qlp, wasted, assignment, *,
+                     blocksize: int, channels: int, max_order: int,
+                     unroll: int = 16, wide: bool = False,
+                     out16: bool = False):
+    """Uniform batched subframe restore + stereo undo.
+
+    res:        [S, N] int16/int32 (int64 when wide) normalized residuals
+    order/shift/wasted: [S] int32;  qlp: [S, max_order] int32
+    assignment: [B] int32 (S = B * channels)
+    Returns [B, channels, N] PCM (int16 when out16, else int32/int64).
+    """
+    S = res.shape[0]
+    N = blocksize
+    U = unroll
+    NB = (N + U - 1) // U
+    xdt = jnp.int64 if wide else jnp.int32
+    x0 = res.astype(xdt)
+    if NB * U != N:
+        x0 = jnp.pad(x0, ((0, 0), (0, NB * U - N)))
+    resb = x0.reshape(S, NB, U).transpose(1, 0, 2)      # [NB, S, U]
+    qlp64 = [qlp[:, i].astype(jnp.int64) for i in range(max_order)]
+    shift64 = shift.astype(jnp.int64)
+    base_idx = jnp.arange(NB, dtype=jnp.int32) * U
+
+    def block(hist, inp):
+        resu, base = inp
+        cols = list(hist)
+        outs = []
+        for j in range(U):
+            n = base + j
+            acc = jnp.zeros((S,), jnp.int64)
+            for i in range(max_order):
+                acc = acc + qlp64[i] * cols[i].astype(jnp.int64)
+            pred = (acc >> shift64).astype(xdt)
+            rj = resu[:, j]
+            xn = jnp.where(n < order, rj, rj + pred)
+            outs.append(xn)
+            if max_order:
+                cols = [xn] + cols[:-1]
+        return tuple(cols), jnp.stack(outs, axis=1)
+
+    hist0 = tuple(jnp.zeros((S,), xdt) for _ in range(max_order))
+    _, xs = jax.lax.scan(block, hist0, (resb, base_idx))
+    x = xs.transpose(1, 0, 2).reshape(S, NB * U)[:, :N]
+    x = x << wasted[:, None].astype(xdt)
+
+    sig = x.reshape(-1, channels, N)
+    if channels == 2:
+        a, b = sig[:, 0], sig[:, 1]
+        asg = assignment[:, None]
+        left = jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a,
+                 jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b + a,
+                  jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
+                            (((a << 1) | (b & 1)) + b) >> 1, a)))
+        right = jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a - b,
+                  jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b,
+                   jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
+                             (((a << 1) | (b & 1)) - b) >> 1, b)))
+        sig = jnp.stack([left, right], axis=1)
+    if out16:
+        return sig.astype(jnp.int16)
+    return sig if wide else sig.astype(jnp.int32)
+
+
+def _group_arrays(frames, idxs, channels):
+    """Build the phase-1 input table for one batch of frame indices."""
+    F = len(idxs)
+    offsets = np.empty(F, np.int64)
+    start_bits = np.empty(F, np.int64)
+    sizes = np.empty(F, np.int64)
+    asg = np.empty(F, np.int32)
+    ch_bps = np.empty((F, channels), np.int32)
+    for j, i in enumerate(idxs):
+        f = frames[i]
+        offsets[j] = f["offset"]
+        start_bits[j] = f["header_end_bits"]
+        sizes[j] = f["size"]
+        asg[j] = f["assignment"]
+        for c in range(channels):
+            extra = int(
+                (f["assignment"] == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE
+                 and c == 1) or
+                (f["assignment"] == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE
+                 and c == 0) or
+                (f["assignment"] == fmt.CHANNEL_ASSIGNMENT_MID_SIDE
+                 and c == 1))
+            ch_bps[j, c] = f["bps"] + extra
+    return offsets, start_bits, sizes, asg, ch_bps
+
+
+def _dispatch_batch(arr, frames, idxs, blocksize, channels, bps):
+    """Phase 1 + device dispatch for one batch.  Returns
+    (device_out, pg, asg) with device_out an in-flight [B, C, N] array."""
+    offsets, start_bits, sizes, asg, ch_bps = _group_arrays(
+        frames, idxs, channels)
+    wide = int(ch_bps.max()) >= 32 if len(idxs) else False
+    pg = native.parse_frames(arr, offsets, start_bits, sizes, ch_bps,
+                             blocksize, wide=wide)
+    F = len(idxs)
+    # pad the batch to a power of two so compile keys are reused
+    Fp = max(8, 1 << (F - 1).bit_length())
+    S, Sp = F * channels, Fp * channels
+    res = pg.res
+    if not pg.wide and res.max(initial=0) < 32768 \
+            and res.min(initial=0) >= -32768:
+        res = res.astype(np.int16)      # halve the upload
+    if Sp != S:
+        res = np.pad(res, ((0, Sp - S), (0, 0)))
+    pad_s = ((0, Sp - S),)
+    mo = _bucket_order(int(pg.order.max(initial=0)))
+    out = restore_and_undo(
+        jnp.asarray(res), jnp.asarray(np.pad(pg.order, pad_s)),
+        jnp.asarray(np.pad(pg.shift, pad_s)),
+        jnp.asarray(np.pad(pg.qlp[:, :mo], (pad_s[0], (0, 0)))),
+        jnp.asarray(np.pad(pg.wasted, pad_s)),
+        jnp.asarray(np.pad(asg, (0, Fp - F))),
+        blocksize=blocksize, channels=channels, max_order=mo,
+        wide=pg.wide, out16=(bps <= 16 and not pg.wide))
+    return out, pg, asg
+
+
+def decode_frame_list_fast(data, st: DecodedStream, frames: list, *,
+                           verify_crc: bool = True, max_batch: int = 512,
+                           on_crc_error: str = "raise",
+                           pipeline_depth: int = 3) -> list:
+    """Batched fast decode of an explicit frame-header list; same contract
+    as decoder.decode_frame_list ([C, N] int32 per frame, None for frames
+    dropped under on_crc_error="drop")."""
+    results: list[np.ndarray | None] = [None] * len(frames)
+    groups: dict[tuple, list[int]] = {}
+    for i, f in enumerate(frames):
+        groups.setdefault((f["blocksize"], f["channels"]), []).append(i)
+    arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+
+    # build the batch list, then run it as a depth-limited pipeline:
+    # parse/dispatch runs ahead of the ordered fetch+commit
+    batches = []
+    for (blocksize, channels), idxs in groups.items():
+        for lo in range(0, len(idxs), max_batch):
+            batches.append((blocksize, channels, idxs[lo:lo + max_batch]))
+
+    inflight = []
+
+    def commit(out, pg, asg, idxs, blocksize, channels):
+        F = len(idxs)
+        bad: dict[int, str] = {}
+        for j in range(F):
+            s = int(pg.status[j])
+            if s in (native.FT_OK, native.FT_EXTENT_MISMATCH):
+                continue
+            if s == native.FT_CRC16_BAD and not verify_crc:
+                continue
+            label = ("FRAME_CRC_MISMATCH" if s == native.FT_CRC16_BAD
+                     else "LOST_SYNC")
+            if on_crc_error == "raise":
+                raise FlacDecodeError(
+                    f"frame {'CRC16 mismatch' if label == 'FRAME_CRC_MISMATCH' else 'parse failure (lost sync)'}"
+                    f" at frame {frames[idxs[j]]['number']}")
+            bad[j] = label
+        sig_np = np.asarray(out)[:F]
+        if sig_np.dtype != np.int32:
+            sig_np = sig_np.astype(np.int32)
+        # decoded-sample range check (stream_decoder.c:2458-2472)
+        lim = 1 << (st.bits_per_sample - 1)
+        oor = np.nonzero(np.any((sig_np < -lim) | (sig_np >= lim),
+                                axis=(1, 2)))[0]
+        for j in oor:
+            j = int(j)
+            if j in bad:
+                continue
+            if on_crc_error == "raise":
+                raise FlacDecodeError(
+                    "decoded sample out of bps range (lost sync) at "
+                    f"frame {frames[idxs[j]]['number']}")
+            bad[j] = "LOST_SYNC"
+        for j, i in enumerate(idxs):
+            if j in bad:
+                if not hasattr(st, "errors"):
+                    st.errors = []
+                st.errors.append((bad[j], frames[i]["number"]))
+                continue
+            results[i] = sig_np[j]
+
+    for blocksize, channels, idxs in batches:
+        bps = st.bits_per_sample or max(frames[i]["bps"] for i in idxs)
+        out, pg, asg = _dispatch_batch(arr, frames, idxs, blocksize,
+                                       channels, bps)
+        inflight.append((out, pg, asg, idxs, blocksize, channels))
+        while len(inflight) > pipeline_depth:
+            commit(*inflight.pop(0))
+    while inflight:
+        commit(*inflight.pop(0))
+    return results
+
+
+def decode_frame_list_host(data, st: DecodedStream, frames: list, *,
+                           verify_crc: bool = True,
+                           on_crc_error: str = "raise") -> list:
+    """All-CPU decode path (native parse + native restore): used for
+    seeks and tooling where a device round-trip would dominate."""
+    results: list[np.ndarray | None] = [None] * len(frames)
+    groups: dict[tuple, list[int]] = {}
+    for i, f in enumerate(frames):
+        groups.setdefault((f["blocksize"], f["channels"]), []).append(i)
+    arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    lim = 1 << (st.bits_per_sample - 1)
+    for (blocksize, channels), idxs in groups.items():
+        offsets, start_bits, sizes, asg, ch_bps = _group_arrays(
+            frames, idxs, channels)
+        pg = native.parse_frames(arr, offsets, start_bits, sizes, ch_bps,
+                                 blocksize)
+        x = native.restore_subframes(pg).reshape(-1, channels, blocksize)
+        if channels == 2:
+            x = _undo_stereo_np(x, asg)
+        for j, i in enumerate(idxs):
+            s = int(pg.status[j])
+            ok = s in (native.FT_OK, native.FT_EXTENT_MISMATCH) or \
+                (s == native.FT_CRC16_BAD and not verify_crc)
+            if ok and np.any((x[j] < -lim) | (x[j] >= lim)):
+                ok = False
+                s = native.FT_PARSE_ERR
+            if not ok:
+                label = ("FRAME_CRC_MISMATCH" if s == native.FT_CRC16_BAD
+                         else "LOST_SYNC")
+                if on_crc_error == "raise":
+                    raise FlacDecodeError(
+                        f"frame decode failure ({label}) at frame "
+                        f"{frames[i]['number']}")
+                if not hasattr(st, "errors"):
+                    st.errors = []
+                st.errors.append((label, frames[i]["number"]))
+                continue
+            results[i] = x[j].astype(np.int32)
+    return results
+
+
+def _undo_stereo_np(sig, assignment):
+    """numpy twin of decoder._undo_stereo; sig [B, 2, N] int64."""
+    a, b = sig[:, 0], sig[:, 1]
+    asg = assignment[:, None]
+    left = np.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a,
+             np.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b + a,
+              np.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
+                       (((a << 1) | (b & 1)) + b) >> 1, a)))
+    right = np.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a - b,
+              np.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b,
+               np.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
+                        (((a << 1) | (b & 1)) - b) >> 1, b)))
+    return np.stack([left, right], axis=1)
+
+
+def repair_frame_table(data, st: DecodedStream, frames: list) -> list:
+    """Strict-mode false-sync recovery (stream_decoder.c:2443-2480's
+    decode-then-CRC16 rejection, batched): when a frame's payload happens
+    to contain a byte pattern that scans as a valid next-numbered header,
+    the scan truncates the real frame at the fake header and the frame
+    fails to parse/CRC.  Re-parse such frames with an open-ended limit to
+    find their true extent, drop the phantom scan entries the real frame
+    swallowed, and rescan from the corrected end.
+    """
+    if not native.AVAILABLE or not frames:
+        return frames
+    arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
+        else data
+    from .decoder import scan_frames
+    out = list(frames)
+    changed = True
+    rounds = 0
+    while changed and rounds < 8:
+        changed = False
+        rounds += 1
+        groups: dict[tuple, list[int]] = {}
+        for i, f in enumerate(out):
+            groups.setdefault((f["blocksize"], f["channels"]), []).append(i)
+        bad_i = None
+        for (blocksize, channels), idxs in groups.items():
+            offsets, start_bits, sizes, asg, ch_bps = _group_arrays(
+                out, idxs, channels)
+            pg = native.parse_frames(arr, offsets, start_bits, sizes,
+                                     ch_bps, blocksize)
+            for j, i in enumerate(idxs):
+                if int(pg.status[j]) in (native.FT_PARSE_ERR,
+                                         native.FT_CRC16_BAD):
+                    bad_i = i if bad_i is None else min(bad_i, i)
+        if bad_i is None:
+            return out
+        f = out[bad_i]
+        # re-parse with the limit extended to the end of the stream
+        open_sizes = np.asarray([len(arr) - f["offset"]], np.int64)
+        offsets, start_bits, _, asg, ch_bps = _group_arrays(
+            out, [bad_i], f["channels"])
+        pg = native.parse_frames(arr, offsets, start_bits, open_sizes,
+                                 ch_bps, f["blocksize"])
+        if int(pg.status[0]) not in (native.FT_OK,
+                                     native.FT_EXTENT_MISMATCH):
+            return out      # genuinely corrupt: leave for error handling
+        true_end = (int(pg.end_bits[0]) + 7) // 8 + 2
+        f = dict(f)
+        f["size"] = true_end - f["offset"]
+        tail = scan_frames(data if isinstance(data, (bytes, bytearray))
+                           else arr.tobytes(), st, true_end)
+        # keep frames before the repaired one, then the rescanned tail
+        # chained onto its numbering
+        nxt = (f["number"] + 1 if not f["variable"]
+               else f["number"] + f["blocksize"])
+        tail = [t for t in tail if t["number"] >= nxt] if tail else []
+        if tail and tail[0]["number"] != nxt:
+            return out
+        out = out[:bad_i] + [f] + tail
+        for i2, g in enumerate(out):
+            end = out[i2 + 1]["offset"] if i2 + 1 < len(out) else len(arr)
+            if i2 != bad_i:
+                g["size"] = end - g["offset"]
+        changed = True
+    return out

@@ -275,7 +275,9 @@ class StreamEncoder:
         self._first_frame_offset = None
         self._pipeline_depth = max(1, pipeline_depth)
         self._super_batches = max(1, super_batches)
-        self._super_depth = 2             # super-chunks in flight
+        # super-chunks in flight: governed by pipeline_depth (each holds
+        # super_batches dispatched batches' word buffers on device)
+        self._super_depth = max(2, self._pipeline_depth)
         self._inflight = []               # FIFO of dispatched batches
         # Device->host copies over the tunnel run at ~28 MB/s serially but
         # ~52 MB/s when several are in flight (the link multiplexes); a
@@ -457,6 +459,13 @@ class StreamEncoder:
             B, N, base_frame, blocks = job.mb, job.N, job.base, job.blocks
             wbytes = buf[:B].astype(">u4", order="C").view(np.uint8) \
                 .reshape(B, -1)
+            if int(lens.max()) > wbytes.shape[1]:
+                # mirror of the per-batch path's loud overflow guard: a
+                # frame longer than the padded word rows would silently
+                # truncate in _write_frames' row slicing
+                raise RuntimeError(
+                    f"frame exceeded super-chunk fetch buffer: "
+                    f"{int(lens.max())} > {wbytes.shape[1]} (encoder bug)")
             self._poll_supers()
             self._write_frames(wbytes, lens, blocks, B, N, base_frame)
             return
@@ -494,7 +503,12 @@ class StreamEncoder:
             for i in range(B):
                 self._frame_index.append(
                     ((base_frame + i) * self.blocksize, int(offs[i]), N))
-        self.out.write(blob)
+        if hasattr(self.out, "write_frames"):
+            # container sinks (Ogg) that packetize per frame take the
+            # batch with its length table instead of raw bytes
+            self.out.write_frames(blob, lens, N)
+        else:
+            self.out.write(blob)
         self._bytes_written += len(blob)
         self._info.min_framesize = min(self._info.min_framesize,
                                        int(lens.min()))
@@ -565,6 +579,21 @@ class StreamEncoder:
         resolved += [SeekPoint(fmt.SEEKPOINT_PLACEHOLDER, 0, 0)] * pad
         self._seektable.points = resolved
 
+    def close(self):
+        """Release worker threads.  Safe to call repeatedly; error paths
+        that abandon the encoder before finish() must not leak the fetch
+        pool or the MD5 worker."""
+        self._fetch_pool.shutdown(wait=False, cancel_futures=True)
+        if self._md5_thread is not None and self._md5_thread.is_alive():
+            self._md5_queue.put(None)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self.close()
+        return False
+
     def finish(self):
         self._drain(final=True)
         while self._inflight:
@@ -591,7 +620,7 @@ def encode_file_to_flac(pcm: np.ndarray, cfg: EncoderConfig,
                         out=None, **kw) -> bytes:
     """Convenience one-shot: pcm [C, n] int32 -> FLAC byte stream."""
     buf = out or io.BytesIO()
-    enc = StreamEncoder(buf, cfg, **kw)
-    enc.process(pcm)
-    enc.finish()
+    with StreamEncoder(buf, cfg, **kw) as enc:
+        enc.process(pcm)
+        enc.finish()
     return buf.getvalue() if out is None else None

@@ -17,11 +17,13 @@ import struct
 from dataclasses import dataclass, field
 
 from . import format as fmt
+from .ref_decoder import FlacDecodeError
 from .utils.bits import BitReader, BitWriter
 
 
-class MetadataError(ValueError):
-    pass
+class MetadataError(FlacDecodeError):
+    """Malformed metadata.  Subclasses FlacDecodeError: a broken metadata
+    chain is a decode error to callers that treat the stream as a whole."""
 
 
 @dataclass
@@ -294,6 +296,51 @@ class PictureBlock:
     TYPE = fmt.METADATA_TYPE_PICTURE
 
     @classmethod
+    def from_specification(cls, spec: str) -> "PictureBlock":
+        """grabbag picture-spec parser (picture.c:515
+        grabbag__picture_parse_specification):
+        ``[TYPE]|MIME|[DESCRIPTION]|[WIDTHxHEIGHTxDEPTH[/COLORS]]|FILE``
+        or a bare file path.  MIME ``-->`` makes FILE a URL stored as
+        text.  PNG/JPEG/GIF dimensions are probed from the file when the
+        dims part is empty where cheaply possible."""
+        parts = spec.split("|")
+        if len(parts) == 5:
+            tpart, mime, desc, dims, fname = parts
+            ptype = int(tpart) if tpart else 3
+        elif len(parts) == 1:
+            ptype, mime, desc, dims, fname = 3, "", "", "", spec
+        else:
+            raise MetadataError(
+                "picture specification must have 5 '|'-separated parts "
+                "or be a bare file path")
+        if mime == "-->":
+            data = fname.encode("ascii")
+        else:
+            data = open(fname, "rb").read()
+            if not mime:
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    mime = "image/png"
+                elif data[:3] == b"GIF":
+                    mime = "image/gif"
+                else:
+                    mime = "image/jpeg"
+        pic = cls(picture_type=ptype, mime_type=mime, description=desc,
+                  data=data)
+        if dims:
+            wh, _, colors = dims.partition("/")
+            w, h, d = (wh.split("x") + ["0", "0", "0"])[:3]
+            pic.width, pic.height, pic.depth = int(w), int(h), int(d)
+            pic.colors = int(colors) if colors else 0
+        elif mime == "image/png" and len(data) >= 26:
+            pic.width = struct.unpack(">I", data[16:20])[0]
+            pic.height = struct.unpack(">I", data[20:24])[0]
+            pic.depth = data[24]
+        if ptype in (1, 2) and mime not in ("image/png", "-->"):
+            raise MetadataError(
+                "icon picture types (1, 2) must be PNG or URL")
+        return pic
+
+    @classmethod
     def parse(cls, body: bytes) -> "PictureBlock":
         pos = 0
 
@@ -413,7 +460,11 @@ class Chain:
             body = data[pos + 4:pos + 4 + length]
             if len(body) != length:
                 raise MetadataError("truncated metadata block")
-            ch.blocks.append(parse_block(btype, body))
+            try:
+                ch.blocks.append(parse_block(btype, body))
+            except (IndexError, struct.error, OverflowError,
+                    UnicodeDecodeError) as e:
+                raise MetadataError(f"corrupt metadata block: {e}") from e
             pos += 4 + length
         ch._frames = data[pos:]
         ch._meta_bytes = pos - 4

@@ -14,11 +14,39 @@ from . import format as fmt
 from . import metadata as md
 
 
+# picture type names (format-mandated strings,
+# FLAC__StreamMetadata_Picture_TypeString, format.c:185)
+_PICTURE_TYPES = (
+    "Other", "32x32 pixels 'file icon' (PNG only)", "Other file icon",
+    "Cover (front)", "Cover (back)", "Leaflet page",
+    "Media (e.g. label side of CD)", "Lead artist/lead performer/soloist",
+    "Artist/performer", "Conductor", "Band/Orchestra", "Composer",
+    "Lyricist/text writer", "Recording Location", "During recording",
+    "During performance", "Movie/video screen capture",
+    "A bright coloured fish", "Illustration", "Band/artist logotype",
+    "Publisher/Studio logotype")
+
+
+def _hexdump(buf: bytes, indent: str, out) -> None:
+    """metaflac's 16-byte hexdump lines (utils.c:94): missing bytes in
+    the final row print as 00 in the hex area and spaces in the chars."""
+    for i in range(0, len(buf), 16):
+        chunk = buf[i:i + 16]
+        hexes = " ".join(
+            f"{chunk[j]:02X}" if j < len(chunk) else "00"
+            for j in range(16))
+        chars = "".join(
+            (chr(chunk[j]) if 32 <= chunk[j] < 127 else ".")
+            if j < len(chunk) else " " for j in range(16))
+        print(f"{indent}{i:08X}: {hexes} {chars}", file=out)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="metaflac-tpu")
     p.add_argument("--list", action="store_true")
     p.add_argument("--block-number", type=str)
     p.add_argument("--block-type", type=str)
+    p.add_argument("--except-block-type", type=str)
     p.add_argument("--show-md5sum", action="store_true")
     p.add_argument("--show-min-blocksize", action="store_true")
     p.add_argument("--show-max-blocksize", action="store_true")
@@ -89,12 +117,31 @@ _TYPE_NAMES = {
 }
 
 
+def _type_filter(args):
+    """--block-type / --except-block-type name sets (upper-cased)."""
+    want = {t.strip().upper() for t in args.block_type.split(",")} \
+        if getattr(args, "block_type", None) else None
+    block = {t.strip().upper() for t in args.except_block_type.split(",")} \
+        if getattr(args, "except_block_type", None) else None
+    return want, block
+
+
 def list_blocks(chain: md.Chain, out=sys.stdout, only: set | None = None,
-                data_format: str = "text") -> None:
+                data_format: str = "text",
+                type_want: set | None = None,
+                type_block: set | None = None) -> None:
+    def skip(i, b):
+        if only is not None and i not in only:
+            return True
+        name = _TYPE_NAMES.get(b.TYPE, "UNKNOWN")
+        if type_want is not None and name not in type_want:
+            return True
+        return type_block is not None and name in type_block
+
     if data_format in ("binary", "binary-headerless"):
         raw = sys.stdout.buffer
         for i, b in enumerate(chain.blocks):
-            if only is not None and i not in only:
+            if skip(i, b):
                 continue
             body = b.to_bytes()
             if data_format == "binary":
@@ -104,7 +151,7 @@ def list_blocks(chain: md.Chain, out=sys.stdout, only: set | None = None,
         raw.flush()
         return
     for i, b in enumerate(chain.blocks):
-        if only is not None and i not in only:
+        if skip(i, b):
             continue
         body = b.to_bytes()
         name = _TYPE_NAMES.get(b.TYPE, "UNKNOWN")
@@ -138,13 +185,19 @@ def list_blocks(chain: md.Chain, out=sys.stdout, only: set | None = None,
                           f"stream_offset={pt.stream_offset}, "
                           f"frame_samples={pt.frame_samples}", file=out)
         elif isinstance(b, md.PictureBlock):
-            print(f"  type: {b.picture_type}", file=out)
+            tname = _PICTURE_TYPES[b.picture_type] \
+                if 0 <= b.picture_type < len(_PICTURE_TYPES) else "UNDEFINED"
+            print(f"  type: {b.picture_type} ({tname})", file=out)
             print(f"  MIME type: {b.mime_type}", file=out)
             print(f"  description: {b.description}", file=out)
             print(f"  width: {b.width}", file=out)
             print(f"  height: {b.height}", file=out)
             print(f"  depth: {b.depth}", file=out)
+            print(f"  colors: {b.colors}"
+                  f"{' (unindexed)' if b.colors == 0 else ''}", file=out)
             print(f"  data length: {len(b.data)}", file=out)
+            print("  data:", file=out)
+            _hexdump(b.data, "    ", out)
 
 
 def _vc(chain: md.Chain, create=True) -> md.VorbisCommentBlock | None:
@@ -282,26 +335,9 @@ def process_file(args, path: str) -> int:
                 vc.comments.append(line)
         dirty = True
     if args.import_picture_from:
-        # SPEC: [TYPE]|[MIME]|[DESC]|[WxHxD]|file  or just a file path
-        spec = args.import_picture_from
-        parts = spec.split("|")
-        if len(parts) == 5:
-            ptype = int(parts[0]) if parts[0] else 3
-            mime, desc = parts[1], parts[2]
-            dims = parts[3]
-            fname = parts[4]
-        else:
-            ptype, mime, desc, dims, fname = 3, "", "", "", spec
-        data = open(fname, "rb").read()
-        if not mime:
-            mime = ("image/png" if data[:8] == b"\x89PNG\r\n\x1a\n"
-                    else "image/jpeg")
-        pic = md.PictureBlock(picture_type=ptype, mime_type=mime,
-                              description=desc, data=data)
-        if dims:
-            w, h, d = (dims.split("x") + ["0", "0", "0"])[:3]
-            pic.width, pic.height, pic.depth = int(w), int(h), int(d)
-        chain.blocks.append(pic)
+        # SPEC: [TYPE]|[MIME]|[DESC]|[WxHxD[/COLORS]]|file or a file path
+        chain.blocks.append(
+            md.PictureBlock.from_specification(args.import_picture_from))
         dirty = True
     if args.export_picture_to:
         pic = chain.get(fmt.METADATA_TYPE_PICTURE)
@@ -362,15 +398,16 @@ def process_file(args, path: str) -> int:
     if args.add_padding is not None:
         chain.blocks.append(md.PaddingBlock(args.add_padding))
         dirty = True
-    if args.remove and (args.block_type or args.block_number):
-        wanted = {t.strip().upper() for t in args.block_type.split(",")} \
-            if args.block_type else None
+    if args.remove and (args.block_type or args.block_number
+                        or args.except_block_type):
+        wanted, blocked = _type_filter(args)
         numbers = _block_number_set(args)
         keep = []
         for i, b in enumerate(chain.blocks):
             name = _TYPE_NAMES.get(b.TYPE, "UNKNOWN")
             hit = ((wanted is not None and name in wanted)
-                   or (numbers is not None and i in numbers))
+                   or (numbers is not None and i in numbers)
+                   or (blocked is not None and name not in blocked))
             if hit and name != "STREAMINFO":
                 dirty = True
                 continue
@@ -446,8 +483,10 @@ def process_file(args, path: str) -> int:
         dirty = True
 
     if args.list:
+        want, block = _type_filter(args)
         list_blocks(chain, only=_block_number_set(args),
-                    data_format=args.data_format)
+                    data_format=args.data_format,
+                    type_want=want, type_block=block)
 
     if dirty:
         chain.write_file(path)

@@ -71,6 +71,19 @@ def _load():
     lib.ft_gather_frames.restype = ctypes.c_int64
     lib.ft_gather_frames.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int64, i64p, u8p]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ft_parse_frames.restype = ctypes.c_int64
+    lib.ft_parse_frames.argtypes = [
+        u8p, ctypes.c_int64, i64p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p,
+        ctypes.c_void_p, ctypes.c_void_p, i64p, i32p]
+    lib.ft_restore.argtypes = [
+        i32p, i32p, i32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.ft_restore_wide.argtypes = [
+        i64p, i32p, i32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int64, i64p]
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.ft_iir.argtypes = [f64p, f64p, ctypes.c_int64, f64p, f64p,
                            ctypes.c_int32]
@@ -175,6 +188,97 @@ def iir_filter(x: np.ndarray, b: np.ndarray, a: np.ndarray,
         return yp[order:], xp[-order:].copy(), yp[-order:].copy()
     return (yp[order:], np.concatenate([x_hist, x])[-order:],
             yp[-order:].copy())
+
+
+# Frame parse/restore status codes (mirror flac_native.cpp enum)
+FT_OK = 0
+FT_PARSE_ERR = 1
+FT_CRC16_BAD = 2
+FT_RES_OVERFLOW = 3
+FT_EXTENT_MISMATCH = 4
+
+
+class ParsedGroup:
+    """Phase-1 parse output for a batch of same-shape frames: normalized
+    restore form (see flac_native.cpp ft_parse_frames docs)."""
+
+    __slots__ = ("order", "shift", "wasted", "sftype", "qlp", "res",
+                 "end_bits", "status", "wide")
+
+    def __init__(self, order, shift, wasted, sftype, qlp, res, end_bits,
+                 status, wide):
+        self.order = order          # [S] int32
+        self.shift = shift          # [S] int32
+        self.wasted = wasted        # [S] int32
+        self.sftype = sftype        # [S] int32 (0 const,1 verb,2 fixed,3 lpc)
+        self.qlp = qlp              # [S, 32] int32 (normalized taps)
+        self.res = res              # [S, N] int32 (or int64 when wide)
+        self.end_bits = end_bits    # [F] int64 absolute bit cursor
+        self.status = status        # [F] int32 FT_* codes
+        self.wide = wide
+
+
+def parse_frames(data, offsets, start_bits, sizes, ch_bps,
+                 blocksize: int, wide: bool = False) -> ParsedGroup:
+    """Native phase-1 frame parse: bit-walk F same-shape frames, emitting
+    per-subframe (order, shift, wasted, qlp, residual) in the normalized
+    uniform-LPC restore form plus CRC-16/extent status per frame.
+
+    data: bytes/uint8 array of the whole stream; offsets/start_bits/sizes:
+    [F] int64 (start_bits absolute); ch_bps: [F, C] int32.
+    Automatically retries in wide (int64 residual) mode if any frame
+    overflows int32.
+    """
+    arr = data if isinstance(data, np.ndarray) else \
+        np.frombuffer(data, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    start_bits = np.ascontiguousarray(start_bits, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    ch_bps = np.ascontiguousarray(ch_bps, np.int32)
+    F, C = ch_bps.shape
+    S = F * C
+    N = blocksize
+    order = np.zeros(S, np.int32)
+    shift = np.zeros(S, np.int32)
+    wasted = np.zeros(S, np.int32)
+    sftype = np.zeros(S, np.int32)
+    qlp = np.zeros((S, 32), np.int32)
+    res = np.zeros((S, N), np.int64 if wide else np.int32)
+    end_bits = np.zeros(F, np.int64)
+    status = np.zeros(F, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _lib.ft_parse_frames(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(arr),
+        offsets.ctypes.data_as(i64p), start_bits.ctypes.data_as(i64p),
+        sizes.ctypes.data_as(i64p), ch_bps.ctypes.data_as(i32p),
+        F, C, N,
+        order.ctypes.data_as(i32p), shift.ctypes.data_as(i32p),
+        wasted.ctypes.data_as(i32p), sftype.ctypes.data_as(i32p),
+        qlp.ctypes.data_as(i32p),
+        None if wide else res.ctypes.data_as(i32p),
+        res.ctypes.data_as(i64p) if wide else None,
+        end_bits.ctypes.data_as(i64p), status.ctypes.data_as(i32p))
+    if not wide and np.any(status == FT_RES_OVERFLOW):
+        return parse_frames(data, offsets, start_bits, sizes, ch_bps,
+                            blocksize, wide=True)
+    return ParsedGroup(order, shift, wasted, sftype, qlp, res, end_bits,
+                       status, wide)
+
+
+def restore_subframes(pg: ParsedGroup) -> np.ndarray:
+    """Host (CPU) phase-2 restore of a ParsedGroup -> [S, N] int64
+    subframe signals with wasted bits applied."""
+    S, N = pg.res.shape
+    out = np.empty((S, N), np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    fn = _lib.ft_restore_wide if pg.wide else _lib.ft_restore
+    fn(pg.res.ctypes.data_as(i64p if pg.wide else i32p),
+       pg.order.ctypes.data_as(i32p), pg.shift.ctypes.data_as(i32p),
+       pg.wasted.ctypes.data_as(i32p), pg.qlp.ctypes.data_as(i32p),
+       S, N, out.ctypes.data_as(i64p))
+    return out
 
 
 def gather_frames(rows: np.ndarray, lens: np.ndarray) -> bytes:

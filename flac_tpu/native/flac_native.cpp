@@ -346,6 +346,362 @@ int64_t ft_scan_frames(const uint8_t* data, int64_t len, int64_t start,
 }
 
 // ---------------------------------------------------------------------------
+// Frame-body parse: bit layout + residual extraction (decode phase 1)
+// ---------------------------------------------------------------------------
+//
+// The fast decode pipeline splits the reference's pull-based frame decode
+// (stream_decoder.c:3000-3420 read_subframe_* + bitreader.c:834 Rice read)
+// into two phases: this native bit-serial walk extracts per-subframe
+// residuals/coefficients (the branchy, data-dependent-length part a TPU
+// cannot vectorize), and the device then runs ONE uniform batched LPC
+// restore over all subframes (decoder_fast.py).  To make the device side
+// uniform, every subframe type is normalized to the LPC form here:
+//   constant -> order 1, qlp = {1}, shift 0, res[0] = value, res[n>0] = 0
+//   verbatim -> order 0, res[n] = sample
+//   fixed    -> its taps as qlp, shift 0
+//   lpc      -> as coded
+// Warmup samples land in res[0..order) and the restore seeds from them.
+
+typedef struct {
+  const uint8_t* data;
+  int64_t pos;    // absolute bit cursor
+  int64_t limit;  // absolute bit limit
+  int err;
+} BitRd;
+
+static inline uint64_t br_peek57(const BitRd* r) {
+  // 64-bit big-endian window starting at the cursor's byte; cursor bit at
+  // position (63 - (pos&7)).  Bytes past limit read as zero.
+  int64_t b0 = r->pos >> 3;
+  int64_t last = (r->limit + 7) >> 3;
+  uint64_t w = 0;
+  if (b0 + 8 <= last) {
+    const uint8_t* p = r->data + b0;
+    w = ((uint64_t)p[0] << 56) | ((uint64_t)p[1] << 48) |
+        ((uint64_t)p[2] << 40) | ((uint64_t)p[3] << 32) |
+        ((uint64_t)p[4] << 24) | ((uint64_t)p[5] << 16) |
+        ((uint64_t)p[6] << 8) | (uint64_t)p[7];
+  } else {
+    for (int i = 0; i < 8; i++) {
+      uint8_t b = (b0 + i < last) ? r->data[b0 + i] : 0;
+      w = (w << 8) | b;
+    }
+  }
+  return w << (r->pos & 7);
+}
+
+static inline uint64_t br_read(BitRd* r, int nbits) {  // nbits in [0, 57]
+  if (nbits == 0) return 0;
+  if (r->pos + nbits > r->limit) {
+    r->err = 1;
+    return 0;
+  }
+  uint64_t w = br_peek57(r);
+  r->pos += nbits;
+  return w >> (64 - nbits);
+}
+
+static inline int64_t br_read_signed(BitRd* r, int nbits) {
+  if (nbits == 0) return 0;
+  uint64_t v = br_read(r, nbits);
+  uint64_t sign = (uint64_t)1 << (nbits - 1);
+  return (int64_t)((v ^ sign)) - (int64_t)sign;
+}
+
+static inline int64_t br_read_unary(BitRd* r) {
+  int64_t q = 0;
+  for (;;) {
+    if (r->pos >= r->limit) {
+      r->err = 1;
+      return 0;
+    }
+    uint64_t w = br_peek57(r);
+    if (w) {
+      int nz = __builtin_clzll(w);
+      int64_t avail = r->limit - r->pos;
+      if (nz >= avail) {
+        r->err = 1;
+        return 0;
+      }
+      r->pos += nz + 1;
+      return q + nz;
+    }
+    // whole window is zeros: usable bits this round
+    int64_t usable = 64 - (r->pos & 7);
+    int64_t avail = r->limit - r->pos;
+    if (usable >= avail) {
+      r->err = 1;
+      return 0;
+    }
+    q += usable;
+    r->pos += usable;
+  }
+}
+
+static const int32_t FIXED_TAPS[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+// Frame status codes (frame_status[f]):
+enum {
+  FT_OK = 0,
+  FT_PARSE_ERR = 1,
+  FT_CRC16_BAD = 2,
+  FT_RES_OVERFLOW = 3,   // residual/sample needs > int32 (wide retry)
+  FT_EXTENT_MISMATCH = 4 // decoded extent != scan span (false sync?)
+};
+
+// Parse one subframe into normalized restore form.  Returns 0 on success.
+static int parse_subframe(BitRd* r, int32_t sbps, int64_t N, int32_t* order,
+                          int32_t* shift, int32_t* wasted, int32_t* sftype,
+                          int32_t* qlp /*32*/, int32_t* res32 /*N*/,
+                          int64_t* res64 /*N or null*/, int* overflow) {
+  uint64_t hdr = br_read(r, 8);
+  if (r->err) return 1;
+  if (hdr & 0x80) return 1;  // padding bit must be 0 (format.h frame layout)
+  int type6 = (int)((hdr >> 1) & 0x3F);
+  int w = 0;
+  if (hdr & 1) w = (int)br_read_unary(r) + 1;
+  if (r->err) return 1;
+  int32_t ebps = sbps - w;
+  if (ebps <= 0) return 1;
+  *wasted = w;
+  *shift = 0;
+  for (int i = 0; i < 32; i++) qlp[i] = 0;
+
+  int ord;
+  int is_lpc = 0;
+  if (type6 == 0) {  // constant
+    int64_t v = br_read_signed(r, ebps);
+    if (r->err) return 1;
+    *sftype = 0;
+    *order = 1;
+    qlp[0] = 1;
+    if (res64) {
+      memset(res64, 0, (size_t)N * 8);
+      res64[0] = v;
+    } else {
+      memset(res32, 0, (size_t)N * 4);
+      if (v < INT32_MIN || v > INT32_MAX) {
+        *overflow = 1;
+        return 0;
+      }
+      res32[0] = (int32_t)v;
+    }
+    return 0;
+  } else if (type6 == 1) {  // verbatim
+    *sftype = 1;
+    *order = 0;
+    for (int64_t n = 0; n < N; n++) {
+      int64_t v = br_read_signed(r, ebps);
+      if (r->err) return 1;
+      if (res64) {
+        res64[n] = v;
+      } else if (v < INT32_MIN || v > INT32_MAX) {
+        *overflow = 1;
+        return 0;
+      } else {
+        res32[n] = (int32_t)v;
+      }
+    }
+    return 0;
+  } else if ((type6 & 0x38) == 0x08 && (type6 & 0x07) <= 4) {  // fixed
+    ord = type6 & 0x07;
+    *sftype = 2;
+    for (int i = 0; i < ord; i++) qlp[i] = FIXED_TAPS[ord][i];
+  } else if (type6 & 0x20) {  // lpc
+    ord = (type6 & 0x1F) + 1;
+    *sftype = 3;
+    is_lpc = 1;
+  } else {
+    return 1;  // reserved type
+  }
+  if (ord > (int)N) return 1;
+  *order = ord;
+
+  // warmup samples -> res[0..ord)
+  for (int i = 0; i < ord; i++) {
+    int64_t v = br_read_signed(r, ebps);
+    if (r->err) return 1;
+    if (res64) {
+      res64[i] = v;
+    } else if (v < INT32_MIN || v > INT32_MAX) {
+      *overflow = 1;
+      return 0;
+    } else {
+      res32[i] = (int32_t)v;
+    }
+  }
+  if (is_lpc) {
+    int prec = (int)br_read(r, 4);
+    if (r->err || prec == 15) return 1;  // precision code 15 invalid
+    prec += 1;
+    int sh = (int)br_read_signed(r, 5);
+    if (r->err || sh < 0) return 1;  // negative shift reserved
+    *shift = sh;
+    for (int i = 0; i < ord; i++) {
+      qlp[i] = (int32_t)br_read_signed(r, prec);
+      if (r->err) return 1;
+    }
+  }
+
+  // partitioned Rice residual (format.h RESIDUAL_CODING_METHOD_*)
+  int method = (int)br_read(r, 2);
+  if (r->err || method > 1) return 1;
+  int plen = method ? 5 : 4;
+  uint32_t esc = (1u << plen) - 1;
+  int po = (int)br_read(r, 4);
+  if (r->err) return 1;
+  if (N % ((int64_t)1 << po)) return 1;
+  int64_t m = N >> po;
+  if (po > 0 && m <= ord) return 1;
+  if (po == 0 && N < ord) return 1;
+  int64_t n = ord;
+  for (int p = 0; p < (1 << po); p++) {
+    int64_t pend = ((int64_t)p + 1) * m;
+    uint32_t k = (uint32_t)br_read(r, plen);
+    if (r->err) return 1;
+    if (k == esc) {
+      int rawbits = (int)br_read(r, 5);
+      if (r->err) return 1;
+      for (; n < pend; n++) {
+        int64_t v = rawbits ? br_read_signed(r, rawbits) : 0;
+        if (r->err) return 1;
+        if (res64) {
+          res64[n] = v;
+        } else {
+          res32[n] = (int32_t)v;  // rawbits <= 31: always fits
+        }
+      }
+    } else {
+      for (; n < pend; n++) {
+        int64_t q = br_read_unary(r);
+        if (r->err) return 1;
+        if (q > (int64_t)1 << 30) return 1;  // insane run: corrupt stream
+        uint64_t u = ((uint64_t)q << k) | br_read(r, (int)k);
+        if (r->err) return 1;
+        int64_t v = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+        if (res64) {
+          res64[n] = v;
+        } else if (v < INT32_MIN || v > INT32_MAX) {
+          *overflow = 1;
+          return 0;
+        } else {
+          res32[n] = (int32_t)v;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// Parse a group of same-shape frames (decode phase 1).  Per frame f the
+// subframe records land at s = f*C + c.  res32 xor res64 receives the
+// normalized residuals (pass res64 = null for the common int32 path; an
+// out-of-range value then sets FT_RES_OVERFLOW and the caller retries
+// wide).  end_bits[f] is the absolute bit cursor after the last subframe;
+// CRC-16 is verified against the byte-aligned trailer.  Returns the
+// number of frames with status != FT_OK.
+int64_t ft_parse_frames(const uint8_t* data, int64_t len,
+                        const int64_t* offsets, const int64_t* start_bits,
+                        const int64_t* sizes, const int32_t* ch_bps,
+                        int64_t F, int64_t C, int64_t N, int32_t* order,
+                        int32_t* shift, int32_t* wasted, int32_t* sftype,
+                        int32_t* qlp, int32_t* res32, int64_t* res64,
+                        int64_t* end_bits, int32_t* frame_status) {
+  init_tables();
+  int64_t bad = 0;
+  for (int64_t f = 0; f < F; f++) {
+    BitRd r;
+    r.data = data;
+    r.pos = start_bits[f];
+    int64_t frame_end = offsets[f] + sizes[f];
+    if (frame_end > len) frame_end = len;
+    r.limit = frame_end * 8;
+    r.err = 0;
+    int status = FT_OK;
+    int overflow = 0;
+    for (int64_t c = 0; c < C && status == FT_OK; c++) {
+      int64_t s = f * C + c;
+      if (parse_subframe(&r, ch_bps[s], N, order + s, shift + s, wasted + s,
+                         sftype + s, qlp + 32 * s,
+                         res32 ? res32 + N * s : nullptr,
+                         res64 ? res64 + N * s : nullptr, &overflow))
+        status = FT_PARSE_ERR;
+    }
+    end_bits[f] = r.pos;
+    if (status == FT_OK && overflow) status = FT_RES_OVERFLOW;
+    if (status == FT_OK) {
+      // byte-align, then verify CRC-16 over the whole frame through the
+      // trailer (frame_footer, stream_decoder.c:2443 read_frame_ CRC check)
+      int64_t byte_end = (r.pos + 7) >> 3;
+      if (byte_end + 2 > frame_end) {
+        status = FT_PARSE_ERR;
+      } else {
+        uint16_t got = ft_crc16(data + offsets[f],
+                                byte_end - offsets[f], 0);
+        uint16_t stored = (uint16_t)((data[byte_end] << 8) |
+                                     data[byte_end + 1]);
+        if (got != stored)
+          status = FT_CRC16_BAD;
+        else if (byte_end + 2 != frame_end)
+          status = FT_EXTENT_MISMATCH;  // trailing junk or false next-sync
+      }
+    }
+    frame_status[f] = status;
+    if (status != FT_OK) bad++;
+  }
+  return bad;
+}
+
+// ---------------------------------------------------------------------------
+// Host LPC restore (decode phase 2, CPU path)
+// ---------------------------------------------------------------------------
+
+// Uniform normalized restore: x[n] = res[n] for n < order, else
+// res[n] + ((sum qlp[i]*x[n-1-i]) >> shift); finally x <<= wasted.
+// The int64 history/accumulator covers the 33-bit side channel
+// (lpc.c:978 FLAC__lpc_restore_signal + _wide_ variants, one loop here).
+void ft_restore(const int32_t* res, const int32_t* order,
+                const int32_t* shift, const int32_t* wasted,
+                const int32_t* qlp, int64_t S, int64_t N, int64_t* out) {
+  for (int64_t s = 0; s < S; s++) {
+    const int32_t* r = res + s * N;
+    const int32_t* c = qlp + s * 32;
+    int64_t* x = out + s * N;
+    int ord = order[s];
+    int sh = shift[s], w = wasted[s];
+    for (int64_t n = 0; n < ord && n < N; n++) x[n] = r[n];
+    for (int64_t n = ord; n < N; n++) {
+      int64_t acc = 0;
+      for (int i = 0; i < ord; i++) acc += (int64_t)c[i] * x[n - 1 - i];
+      x[n] = r[n] + (acc >> sh);
+    }
+    if (w)
+      for (int64_t n = 0; n < N; n++) x[n] <<= w;
+  }
+}
+
+void ft_restore_wide(const int64_t* res, const int32_t* order,
+                     const int32_t* shift, const int32_t* wasted,
+                     const int32_t* qlp, int64_t S, int64_t N, int64_t* out) {
+  for (int64_t s = 0; s < S; s++) {
+    const int64_t* r = res + s * N;
+    const int32_t* c = qlp + s * 32;
+    int64_t* x = out + s * N;
+    int ord = order[s];
+    int sh = shift[s], w = wasted[s];
+    for (int64_t n = 0; n < ord && n < N; n++) x[n] = r[n];
+    for (int64_t n = ord; n < N; n++) {
+      int64_t acc = 0;
+      for (int i = 0; i < ord; i++) acc += (int64_t)c[i] * x[n - 1 - i];
+      x[n] = r[n] + (acc >> sh);
+    }
+    if (w)
+      for (int64_t n = 0; n < N; n++) x[n] <<= w;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Ordered frame gather (encoder host assembly)
 // ---------------------------------------------------------------------------
 

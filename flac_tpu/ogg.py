@@ -205,31 +205,26 @@ def pages_to_packets(pages):
 # FLAC-in-Ogg encode
 # ---------------------------------------------------------------------------
 
-def wrap_flac_stream(flac: bytes, out, *, serial: int = 0x464C4143):
-    """Wrap a complete native FLAC stream into Ogg FLAC.
-
-    Splits the stream at metadata-block and frame boundaries (native
-    scanner) and re-emits per the mapping.  The granulepos of each audio
-    page is the last sample number it completes.
-    """
-    from .decoder import parse_metadata, scan_frames
-    if flac[:4] != fmt.STREAM_SYNC_STRING:
+def _build_header_pages(meta: bytes, serial: int) -> bytes:
+    """Packetize a native FLAC metadata region (fLaC..last block) into
+    the Ogg FLAC header pages (mapping packet 0 + one packet per block).
+    Deterministic: rebuilding after a STREAMINFO/seektable backpatch
+    yields byte-identical page framing."""
+    if meta[:4] != fmt.STREAM_SYNC_STRING:
         raise OggError("not a FLAC stream")
-    # split metadata region into blocks
-    blocks = []          # (offset, size, is_last)
+    blocks = []
     pos = 4
     while True:
-        hdr = flac[pos:pos + 4]
+        hdr = meta[pos:pos + 4]
         is_last = hdr[0] >> 7
         size = int.from_bytes(hdr[1:4], "big")
         blocks.append((pos, 4 + size))
         pos += 4 + size
         if is_last:
             break
-    st, _ = parse_metadata(flac, 4)
-    frames = scan_frames(flac, st, pos)
-
-    w = PageWriter(out, serial)
+    import io
+    buf = io.BytesIO()
+    w = PageWriter(buf, serial)
     nheaders = len(blocks)  # includes STREAMINFO; stored as count-1 extra
     first = bytearray()
     first += bytes([0x7F]) + b"FLAC"
@@ -238,22 +233,191 @@ def wrap_flac_stream(flac: bytes, out, *, serial: int = 0x464C4143):
     first += fmt.STREAM_SYNC_STRING
     b0_off, b0_size = blocks[0]
     # STREAMINFO must be marked non-last inside Ogg when more headers follow
-    blk = bytearray(flac[b0_off:b0_off + b0_size])
+    blk = bytearray(meta[b0_off:b0_off + b0_size])
     blk[0] = (blk[0] & 0x7F) | (0x80 if nheaders == 1 else 0)
     first += blk
     w.write_packet(bytes(first), 0, flush=True)
     for i, (off, size) in enumerate(blocks[1:], 1):
-        blk = bytearray(flac[off:off + size])
+        blk = bytearray(meta[off:off + size])
         blk[0] = (blk[0] & 0x7F) | (0x80 if i == nheaders - 1 else 0)
         w.write_packet(bytes(blk), 0, flush=(i == nheaders - 1))
-    sample = 0
-    for i, f in enumerate(frames):
-        sample = (f["number"] if f["variable"]
-                  else f["number"] * st.min_blocksize) + f["blocksize"]
-        w.write_packet(flac[f["offset"]:f["offset"] + f["size"]], sample,
-                       eos=(i == len(frames) - 1))
-    if not frames:
-        w.flush(eos=True)
+    return buf.getvalue(), w.sequence, pos
+
+
+class OggFlacSink:
+    """Incremental Ogg FLAC encode sink (ogg_encoder_aspect.c:113-230).
+
+    File-like target for StreamEncoder: pages stream out as frame
+    batches land, so peak memory is independent of input length (the
+    round-3 wrapper buffered the whole FLAC stream first).
+
+      - header phase: metadata written via write() accumulates until the
+        last-block flag, then is packetized into the header pages;
+      - audio phase: write_frames(blob, lens, nsamples) pages one packet
+        per frame; the final packet is held back so the EOS flag lands
+        on the真 last page at finalize();
+      - backpatch: StreamEncoder.finish()'s seek+write of the resolved
+        STREAMINFO/seektable mutates the retained metadata bytes and the
+        header pages are rewritten in place (size-preserving, CRCs
+        recomputed) when the real output is seekable.
+
+    tell() reports positions in NATIVE FLAC byte space so the encoder's
+    seektable offset arithmetic is container-independent.
+    """
+
+    def __init__(self, out, *, serial: int = 0x464C4143):
+        self.out = out
+        self.serial = serial & 0xFFFFFFFF
+        self._meta = bytearray()
+        self._meta_len = None          # set once the last block is seen
+        self._header_out_off = None    # offset of header pages in out
+        self._header_len = 0
+        self._w = PageWriter(out, self.serial)
+        self._flac_pos = 0             # audio-phase position (flac space)
+        self._samples = 0
+        self._pending = None           # (frame_bytes, nsamples) held packet
+        self._patch_pos = None
+        self._dirty = False
+        self._finalized = False
+
+    # -- file-like surface used by StreamEncoder ------------------------
+    def seekable(self) -> bool:
+        try:
+            return self.out.seekable()
+        except AttributeError:
+            return False
+
+    def tell(self) -> int:
+        if self._meta_len is None:
+            return len(self._meta)
+        if self._patch_pos is not None:
+            return self._patch_pos
+        return self._flac_pos
+
+    def write(self, b: bytes) -> int:
+        if self._patch_pos is not None:
+            end = self._patch_pos + len(b)
+            if end > self._meta_len:
+                raise OggError("backpatch write outside the header region")
+            self._meta[self._patch_pos:end] = b
+            self._patch_pos = end
+            self._dirty = True
+            return len(b)
+        if self._meta_len is not None:
+            raise OggError("raw writes after the header phase "
+                           "(use write_frames)")
+        self._meta += b
+        self._try_finish_header()
+        return len(b)
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 2:
+            pos = self._flac_pos + pos
+        if self._meta_len is not None and pos < self._meta_len:
+            self._patch_pos = pos
+            return pos
+        # leaving the patch region: rewrite dirty header pages in place
+        if self._dirty and self._header_out_off is not None:
+            pages, _seq, _mlen = _build_header_pages(bytes(self._meta),
+                                                     self.serial)
+            assert len(pages) == self._header_len, \
+                "backpatch changed header page size (encoder bug)"
+            cur = self.out.tell()
+            self.out.seek(self._header_out_off)
+            self.out.write(pages)
+            self.out.seek(cur)
+            self._dirty = False
+        self._patch_pos = None
+        return pos
+
+    # -- header/audio phases --------------------------------------------
+    def _try_finish_header(self):
+        if len(self._meta) < 8 or self._meta[:4] != fmt.STREAM_SYNC_STRING:
+            return
+        pos = 4
+        while pos + 4 <= len(self._meta):
+            hdr = self._meta[pos:pos + 4]
+            size = int.from_bytes(hdr[1:4], "big")
+            if pos + 4 + size > len(self._meta):
+                return                     # block body incomplete
+            pos += 4 + size
+            if hdr[0] >> 7:                # last-metadata flag
+                if pos != len(self._meta):
+                    raise OggError("bytes past the last metadata block")
+                pages, seq, mlen = _build_header_pages(
+                    bytes(self._meta), self.serial)
+                self._meta_len = mlen
+                self._header_out_off = (self.out.tell()
+                                        if self.seekable() else None)
+                self._header_len = len(pages)
+                self.out.write(pages)
+                # audio pages continue the page sequence after the header
+                self._w.sequence = seq
+                self._w._bos_pending = False
+                self._flac_pos = mlen
+                return
+
+    def write_frames(self, blob, lens, nsamples) -> None:
+        """One batch of frames: blob concatenates len(lens) frames whose
+        i-th byte length is lens[i] and sample count nsamples[i] (scalar
+        = uniform)."""
+        if self._meta_len is None:
+            raise OggError("write_frames before the header completed")
+        off = 0
+        n = len(lens)
+        for i in range(n):
+            ln = int(lens[i])
+            ns = int(nsamples if np.isscalar(nsamples) else nsamples[i])
+            frame = bytes(blob[off:off + ln])
+            off += ln
+            if self._pending is not None:
+                pb, pn = self._pending
+                self._samples += pn
+                self._w.write_packet(pb, self._samples)
+            self._pending = (frame, ns)
+        self._flac_pos += off
+
+    def finalize(self) -> None:
+        """Emit the held-back last packet with EOS and flush."""
+        if self._finalized:
+            return
+        self._finalized = True
+        if self._pending is not None:
+            pb, pn = self._pending
+            self._samples += pn
+            self._pending = None
+            self._w.write_packet(pb, self._samples, eos=True)
+        else:
+            self._w.flush(eos=True)
+
+    def close(self):
+        self.finalize()
+
+
+def wrap_flac_stream(flac: bytes, out, *, serial: int = 0x464C4143):
+    """Wrap a complete native FLAC stream into Ogg FLAC (one-shot path;
+    the streaming encode path uses OggFlacSink directly).
+
+    Splits the stream at metadata-block and frame boundaries (native
+    scanner) and re-emits per the mapping.  The granulepos of each audio
+    page is the last sample number it completes.
+    """
+    from .decoder import parse_metadata, scan_frames
+    sink = OggFlacSink(out, serial=serial)
+    st, _ = parse_metadata(flac, 4)
+    pos = _build_header_pages(flac, serial)[2]
+    sink.write(flac[:pos])
+    frames = scan_frames(flac, st, pos)
+    if frames:
+        lens = [f["size"] for f in frames]
+        blob = flac[frames[0]["offset"]:frames[-1]["offset"]
+                    + frames[-1]["size"]]
+        # granulepos chain from the first frame's own numbering
+        first = frames[0]
+        sink._samples = (first["number"] if first["variable"]
+                         else first["number"] * st.min_blocksize)
+        sink.write_frames(blob, lens, [f["blocksize"] for f in frames])
+    sink.finalize()
 
 
 # ---------------------------------------------------------------------------

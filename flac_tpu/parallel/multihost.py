@@ -121,41 +121,48 @@ def encode_file_ranges(blocks: np.ndarray, cfg: EncoderConfig,
     B = blocks.shape[0]
     per = -(-B // num_hosts)
     lo, hi = host_id * per, min((host_id + 1) * per, B)
+    from .. import native
+
+    def rows_to_blob(wbytes, lens64):
+        if native.AVAILABLE:
+            return native.gather_frames(wbytes, lens64)
+        return b"".join(wbytes[i, :int(lens64[i])].tobytes()
+                        for i in range(wbytes.shape[0]))
+
+    if num_hosts > 1 and jax.process_count() != num_hosts:
+        # single-process simulation (host_id/num_hosts injected): a real
+        # allgather would see only ONE process and mis-splice.  ONE
+        # sharded encode of the full batch yields every frame's bytes;
+        # my blob is my row range and the per-host lengths are row-range
+        # sums — O(B) total, not O(H*B).  Frame bytes are deterministic
+        # and base-frame-number-invariant (tests/test_shard.py), so these
+        # equal what the real hosts would produce.
+        mesh = mesh or data_mesh(jax.local_devices())
+        words, lens = encode_blocks_dp(blocks, 0, cfg, mesh)
+        lens64 = lens.astype(np.int64)
+        wbytes = words.astype(">u4").view(np.uint8).reshape(
+            words.shape[0], -1)
+        my_blob = rows_to_blob(wbytes[lo:hi], lens64[lo:hi]) \
+            if lo < hi else b""
+        all_lens = np.array(
+            [int(lens64[h * per:min((h + 1) * per, B)].sum())
+             for h in range(num_hosts)], np.int64)
+        my_offset = int(all_lens[:host_id].sum())
+        return my_blob, all_lens, my_offset
+
     if lo >= hi:
         my_blob = b""
     else:
         mesh = mesh or data_mesh(jax.local_devices())
         words, lens = encode_blocks_dp(blocks[lo:hi], lo, cfg, mesh)
-        from .. import native
         wbytes = words.astype(">u4").view(np.uint8).reshape(
             words.shape[0], -1)
-        if native.AVAILABLE:
-            my_blob = native.gather_frames(wbytes, lens.astype(np.int64))
-        else:
-            my_blob = b"".join(wbytes[i, :int(lens[i])].tobytes()
-                               for i in range(words.shape[0]))
-    if num_hosts > 1 and jax.process_count() == num_hosts:
+        my_blob = rows_to_blob(wbytes, lens.astype(np.int64))
+    if num_hosts > 1:
         # real multi-host: per-range byte lengths are the only DCN traffic
         from jax.experimental import multihost_utils
         all_lens = np.asarray(multihost_utils.process_allgather(
             np.array([len(my_blob)], np.int64))).reshape(-1)
-    elif num_hosts > 1:
-        # single-process simulation (host_id/num_hosts injected): a real
-        # allgather would see only ONE process and mis-splice — compute
-        # every range's byte length locally instead.  Frame bytes are
-        # deterministic and topology-invariant (tests/test_shard.py), so
-        # these lengths equal what the real hosts would report.
-        mesh = mesh or data_mesh(jax.local_devices())
-        all_lens = np.zeros(num_hosts, np.int64)
-        for h in range(num_hosts):
-            l, r = h * per, min((h + 1) * per, B)
-            if l >= r:
-                continue
-            if h == host_id:
-                all_lens[h] = len(my_blob)
-            else:
-                _, lens_h = encode_blocks_dp(blocks[l:r], l, cfg, mesh)
-                all_lens[h] = int(lens_h.astype(np.int64).sum())
     else:
         all_lens = np.array([len(my_blob)], np.int64)
     my_offset = int(all_lens[:host_id].sum())

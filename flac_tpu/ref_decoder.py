@@ -10,6 +10,7 @@ performance path.
 from __future__ import annotations
 
 import hashlib
+import struct
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -160,18 +161,34 @@ def _restore_lpc(warm, res, qlp, shift, blocksize):
 
 
 def parse_metadata(data: bytes, pos: int):
-    """Parse metadata blocks after fLaC; returns (stream, pos_after)."""
+    """Parse metadata blocks after fLaC; returns (stream, pos_after).
+    Truncated/corrupt metadata raises FlacDecodeError, never leaks an
+    IndexError (fuzz-hardened, cf. the reference's read_metadata_ error
+    paths, stream_decoder.c:1668)."""
+    try:
+        return _parse_metadata(data, pos)
+    except (IndexError, struct.error, OverflowError) as e:
+        raise FlacDecodeError(f"truncated/corrupt metadata: {e}") from e
+
+
+def _parse_metadata(data: bytes, pos: int):
     st = DecodedStream()
     last = False
     while not last:
+        if pos + 4 > len(data):
+            raise FlacDecodeError("truncated metadata header")
         hdr = int.from_bytes(data[pos:pos + 4], "big")
         last = bool(hdr >> 31)
         btype = (hdr >> 24) & 0x7F
         length = hdr & 0xFFFFFF
         body = data[pos + 4:pos + 4 + length]
+        if len(body) != length:
+            raise FlacDecodeError("truncated metadata block body")
         pos += 4 + length
         st.metadata.append((btype, body))
         if btype == fmt.METADATA_TYPE_STREAMINFO:
+            if length < 34:
+                raise FlacDecodeError("STREAMINFO too short")
             br = BitReader(body)
             st.min_blocksize = br.read(16)
             st.max_blocksize = br.read(16)

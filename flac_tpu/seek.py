@@ -180,10 +180,18 @@ class FlacReader:
         return sig[:, lo:lo + n]
 
     def _decode_frames(self, frames: list[dict]) -> np.ndarray:
-        """Batched device decode of an explicit frame list."""
+        """Batched decode of an explicit frame list.  Host seeks route
+        through the native parse+restore path (decoder_fast) so a long
+        seek never crawls through the pure-Python oracle decoder."""
         if self.use_device:
             from .decoder import decode_frames_selected
             return decode_frames_selected(self.data, self.st, frames)
+        from . import native
+        if native.AVAILABLE:
+            from .decoder import decode_frame_list
+            return np.concatenate(
+                decode_frame_list(self.data, self.st, frames,
+                                  engine="host"), axis=1)
         from .ref_decoder import decode_frame
         outs = []
         for f in frames:

@@ -1,0 +1,129 @@
+"""Randomized robustness fuzz (the oss-fuzz/decoder.cc + seek.cc tier):
+bit-flips, truncations, and splices of valid streams fed to strict and
+tolerant decode.  Strict must either succeed or raise FlacDecodeError —
+never crash, hang, or raise anything else; tolerant must conceal and
+report.  Metadata-chain fuzz covers metadata.py's parser the same way.
+
+Seeded and bounded (~thousands of mutations in seconds): the host engine
+exercises the same native parse code (ft_parse_frames) as the device
+path with no dispatch overhead.
+"""
+
+import numpy as np
+import pytest
+
+from flac_tpu import EncoderConfig
+from flac_tpu.decoder import decode_stream_tpu
+from flac_tpu.encoder import encode_file_to_flac
+from flac_tpu.ref_decoder import FlacDecodeError
+
+from conftest import make_test_signal
+
+
+@pytest.fixture(scope="module")
+def base_stream():
+    pcm = make_test_signal(192 * 6, channels=2)
+    cfg = EncoderConfig.from_preset(2, blocksize=192)
+    return encode_file_to_flac(pcm, cfg, batch_frames=8)
+
+
+def _try_decode(data: bytes, **kw):
+    """Decode must terminate with success or FlacDecodeError only."""
+    try:
+        st = decode_stream_tpu(data, engine="host", verify_md5=True, **kw)
+        return st
+    except FlacDecodeError:
+        return None
+    # anything else (IndexError, segfault, OverflowError, hang) = bug
+
+
+def test_fuzz_bitflips_strict(base_stream):
+    rng = np.random.default_rng(0xF1A9)
+    data = np.frombuffer(base_stream, np.uint8).copy()
+    n = len(data)
+    for _ in range(1200):
+        m = data.copy()
+        for _ in range(int(rng.integers(1, 4))):
+            m[rng.integers(0, n)] ^= 1 << rng.integers(0, 8)
+        _try_decode(m.tobytes())
+
+
+def test_fuzz_truncations(base_stream):
+    rng = np.random.default_rng(0x7A11)
+    n = len(base_stream)
+    for _ in range(400):
+        cut = int(rng.integers(0, n))
+        _try_decode(base_stream[:cut])
+        _try_decode(base_stream[cut:])
+
+
+def test_fuzz_splices(base_stream):
+    rng = np.random.default_rng(0x5EED)
+    n = len(base_stream)
+    for _ in range(400):
+        a, b = sorted(rng.integers(0, n, 2))
+        _try_decode(base_stream[:a] + base_stream[b:])
+        c = int(rng.integers(0, n))
+        chunk = base_stream[a:b]
+        _try_decode(base_stream[:c] + chunk + base_stream[c:])
+
+
+def test_fuzz_random_garbage():
+    rng = np.random.default_rng(0xBAD)
+    for size in (0, 1, 3, 16, 100, 4096):
+        for _ in range(40):
+            blob = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+            _try_decode(blob)
+            _try_decode(b"fLaC" + blob)
+
+
+def test_fuzz_tolerant_conceals(base_stream):
+    """Tolerant mode: single-bit frame corruption must yield a decode
+    with errors recorded, not an exception (flac -F behavior)."""
+    rng = np.random.default_rng(0xC0DE)
+    data = np.frombuffer(base_stream, np.uint8).copy()
+    # find the first audio frame so flips hit frames, not metadata
+    first = base_stream.index(b"\xff\xf8", 42)
+    ok = 0
+    for _ in range(200):
+        m = data.copy()
+        m[rng.integers(first + 8, len(data))] ^= 1 << rng.integers(0, 8)
+        try:
+            st = decode_stream_tpu(m.tobytes(), tolerant=True,
+                                   engine="host", verify_md5=True)
+        except FlacDecodeError:
+            continue
+        ok += 1
+        assert st.samples.shape[0] == 2
+    assert ok > 150      # the vast majority must be concealed, not fatal
+
+
+def test_fuzz_metadata_chain(base_stream):
+    """Metadata parser fuzz: mutated metadata region must parse or raise
+    FlacDecodeError (never crash)."""
+    from flac_tpu.metadata import Chain
+    rng = np.random.default_rng(0x3E7A)
+    data = np.frombuffer(base_stream, np.uint8).copy()
+    first_frame = base_stream.index(b"\xff\xf8", 42)
+    for _ in range(800):
+        m = data.copy()
+        for _ in range(int(rng.integers(1, 5))):
+            m[rng.integers(0, first_frame)] ^= 1 << rng.integers(0, 8)
+        try:
+            Chain.read(m.tobytes())
+        except FlacDecodeError:
+            pass
+
+
+def test_fuzz_device_path_smoke(base_stream):
+    """A small sample of mutations through the full device path (same
+    shapes reuse one compile)."""
+    rng = np.random.default_rng(0xD17)
+    data = np.frombuffer(base_stream, np.uint8).copy()
+    for _ in range(25):
+        m = data.copy()
+        m[rng.integers(0, len(data))] ^= 1 << rng.integers(0, 8)
+        try:
+            decode_stream_tpu(m.tobytes(), engine="fast")
+        except FlacDecodeError:
+            pass

@@ -26,19 +26,25 @@ def test_verify_clean_encode_passes():
     assert np.array_equal(st.samples, pcm)
 
 
+def _corrupting(real, row: int, col: int, bit: int):
+    """Wrap encode_batch_trimmed, flipping one bit in the fetched word
+    buffer (column 0 is the byte-length lane; words start at column 1) —
+    injection AFTER the jit boundary, where the product path reads it."""
+    def corrupted(pcm_b, fn, cfg, blocksize, fetch_words):
+        main, rest = real(pcm_b, fn, cfg, blocksize, fetch_words)
+        arr = np.asarray(main).copy()
+        arr[min(row, arr.shape[0] - 1), col] ^= np.uint32(1 << bit)
+        return arr, rest
+    return corrupted
+
+
 def test_verify_catches_injected_packer_bug(monkeypatch):
-    """Flip one bit in the packed words after encode_batch: -V must refuse
+    """Flip one bit in the packed words after encoding: -V must refuse
     to write the stream."""
     pcm = make_test_signal(N * 4)
-    real = encoder_mod.encode_batch
-
-    def corrupted(pcm_b, fn, cfg, blocksize):
-        packed = real(pcm_b, fn, cfg, blocksize)
-        words = np.asarray(packed.words).copy()
-        words[0, 8] ^= 1 << 7        # payload bit, past the frame header
-        return packed._replace(words=words)
-
-    monkeypatch.setattr(encoder_mod, "encode_batch", corrupted)
+    monkeypatch.setattr(
+        encoder_mod, "encode_batch_trimmed",
+        _corrupting(encoder_mod.encode_batch_trimmed, 0, 9, 7))
     buf = io.BytesIO()
     enc = StreamEncoder(buf, EncoderConfig.from_preset(3, blocksize=N),
                         batch_frames=4, verify=True)
@@ -49,15 +55,9 @@ def test_verify_catches_injected_packer_bug(monkeypatch):
 
 def test_verify_catches_header_corruption(monkeypatch):
     pcm = make_test_signal(N * 4)
-    real = encoder_mod.encode_batch
-
-    def corrupted(pcm_b, fn, cfg, blocksize):
-        packed = real(pcm_b, fn, cfg, blocksize)
-        words = np.asarray(packed.words).copy()
-        words[1, 0] ^= 1 << 16       # inside frame 1's header
-        return packed._replace(words=words)
-
-    monkeypatch.setattr(encoder_mod, "encode_batch", corrupted)
+    monkeypatch.setattr(
+        encoder_mod, "encode_batch_trimmed",
+        _corrupting(encoder_mod.encode_batch_trimmed, 1, 1, 16))
     buf = io.BytesIO()
     enc = StreamEncoder(buf, EncoderConfig.from_preset(0, blocksize=N),
                         batch_frames=4, verify=True)
