@@ -716,8 +716,27 @@ def _dump_residual_stats(res, filename: str) -> None:
         f.write("e\n")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for CLI processes: repeat invocations
+    skip the ~20-40 s first-compile (safe to disable with
+    FLAC_TPU_NO_CACHE=1; tests manage their own CPU-keyed cache)."""
+    import os
+    if os.environ.get("FLAC_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+        cache = os.environ.get(
+            "FLAC_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "flac_tpu_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     rc = 0
     for path in args.files:
         if args.analyze:

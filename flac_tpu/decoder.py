@@ -478,7 +478,7 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
 
 def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
                       *, verify_crc: bool = True,
-                      max_batch: int = 512,
+                      max_batch: int = 1024,
                       on_crc_error: str = "raise",
                       engine: str = "auto") -> list[np.ndarray]:
     """Batched device decode of an explicit frame-header list.
@@ -609,7 +609,7 @@ def decode_frames_selected(data: bytes, st: DecodedStream,
 
 def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
                       verify_crc: bool = True,
-                      max_batch: int = 512,
+                      max_batch: int = 1024,
                       tolerant: bool = False,
                       engine: str = "auto") -> DecodedStream:
     """Full stream decode with batched device subframe decoding.
@@ -670,9 +670,16 @@ def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
         st.samples = st.samples[:, :st.total_samples]
     st.md5_ok = True
     if verify_md5 and st.md5 != b"\x00" * 16:
-        from .encoder import interleave_for_md5
-        got = hashlib.md5(interleave_for_md5(
-            st.samples, st.bits_per_sample)).digest()
+        from . import native as _native
+        if _native.AVAILABLE:
+            h = _native.MD5()
+            h.update_pcm(np.ascontiguousarray(st.samples),
+                         st.bits_per_sample)
+            got = h.digest()
+        else:
+            from .encoder import interleave_for_md5
+            got = hashlib.md5(interleave_for_md5(
+                st.samples, st.bits_per_sample)).digest()
         if got != st.md5:
             if tolerant:
                 st.md5_ok = False

@@ -164,3 +164,50 @@ def test_ogg_ranged_decode_seek_path():
     # range past the end clips naturally
     st2 = ogg.decode_ogg_flac_range(data, pcm.shape[1] - 10, 100)
     assert np.array_equal(st2.samples, pcm[:, -10:])
+
+
+def test_ogg_streaming_sink_incremental():
+    """OggFlacSink pages frames out as batches land and rewrites the
+    header pages in place at finish (STREAMINFO backpatch): the result
+    must round-trip with a valid MD5 and match the one-shot wrapper
+    byte-for-byte."""
+    import io
+
+    import numpy as np
+
+    from flac_tpu import EncoderConfig, ogg
+    from flac_tpu.encoder import StreamEncoder, encode_file_to_flac
+    from tests.conftest import make_test_signal
+
+    pcm = make_test_signal(4096 * 3 + 777)
+    cfg = EncoderConfig.from_preset(3)
+
+    buf = io.BytesIO()
+    sink = ogg.OggFlacSink(buf)
+    with StreamEncoder(sink, cfg, batch_frames=2) as enc:
+        enc.process(pcm)
+        enc.finish()
+    sink.finalize()
+    data = buf.getvalue()
+
+    st = ogg.decode_ogg_flac(data)
+    assert st.md5_ok and np.array_equal(st.samples, pcm)
+
+    flac = encode_file_to_flac(pcm, cfg, batch_frames=2)
+    ref = io.BytesIO()
+    ogg.wrap_flac_stream(flac, ref)
+    assert data == ref.getvalue()
+
+    # non-seekable output: pages still valid, MD5 left unknown (zeros)
+    class Pipe(io.BytesIO):
+        def seekable(self):
+            return False
+
+    p = Pipe()
+    sink2 = ogg.OggFlacSink(p)
+    with StreamEncoder(sink2, cfg, batch_frames=2) as enc2:
+        enc2.process(pcm)
+        enc2.finish()
+    sink2.finalize()
+    st2 = ogg.decode_ogg_flac(p.getvalue(), verify_md5=False)
+    assert np.array_equal(st2.samples, pcm)

@@ -34,14 +34,16 @@ _PATTERNS = {
 }
 
 
-def fsd(bps: int, pattern: tuple, reps: int = 600) -> np.ndarray:
-    """Full-scale deflection: alternating +max/-min (generate_fsd*)."""
+def fsd(bps: int, pattern: tuple, samples: int = 4096) -> np.ndarray:
+    """Full-scale deflection: alternating +max/-min (generate_fsd*);
+    length padded to a blocksize multiple so no extra partial-block
+    programs compile."""
     hi, lo = (1 << (bps - 1)) - 1, -(1 << (bps - 1))
-    seq = np.array([hi if p > 0 else lo for p in pattern] * reps, np.int64)
-    return seq[None, :].astype(np.int32 if bps <= 32 else np.int64)
+    seq = np.array([hi if p > 0 else lo for p in pattern], np.int64)
+    return np.resize(seq, samples)[None, :].astype(np.int32)
 
 
-def wbps16(samples: int = 12000) -> np.ndarray:
+def wbps16(samples: int = 8192) -> np.ndarray:
     """Crafted wasted-bits stereo (generate_wbps16, main.c:358-380)."""
     s = np.arange(samples)
     left = ((s % 2000) << 2).astype(np.int16).astype(np.int32)
@@ -49,7 +51,7 @@ def wbps16(samples: int = 12000) -> np.ndarray:
     return np.stack([left, right])
 
 
-def sine(bps: int, channels: int, samples: int = 12000) -> np.ndarray:
+def sine(bps: int, channels: int, samples: int = 8192) -> np.ndarray:
     """Dual-tone full-scale sine at width bps (generate_sine*)."""
     full = (1 << (bps - 1)) - 1
     t = np.arange(samples) / 44100.0
@@ -62,7 +64,7 @@ def sine(bps: int, channels: int, samples: int = 12000) -> np.ndarray:
         -(1 << (bps - 1)), full).astype(np.int32)
 
 
-def noise(bps: int, channels: int, samples: int = 12000) -> np.ndarray:
+def noise(bps: int, channels: int, samples: int = 8192) -> np.ndarray:
     """Uniform full-range noise at width bps (generate_noise)."""
     rng = np.random.default_rng(bps * 7 + channels)
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
@@ -72,6 +74,10 @@ def noise(bps: int, channels: int, samples: int = 12000) -> np.ndarray:
 
 def _roundtrip(pcm: np.ndarray, bps: int, preset: int, oracle_flac,
                tmp_path, **cfg_kw):
+    # blocksize 1024 everywhere: the corpus stresses SIGNAL pathology,
+    # and the smaller graphs compile ~3x faster than 4096 (the whole
+    # file is compile-dominated on a cold cache)
+    cfg_kw.setdefault("blocksize", 1024)
     cfg = EncoderConfig.from_preset(
         preset, channels=pcm.shape[0], bits_per_sample=bps, **cfg_kw)
     stream = encode_file_to_flac(pcm, cfg, batch_frames=4)
@@ -131,7 +137,7 @@ def test_exhaustive_flags_on_pathological(oracle_flac, tmp_path):
     matrix crosses these flags with every stream; we cross them with the
     most adversarial ones)."""
     pcm_fsd = fsd(16, _PATTERNS["p04"])
-    pcm_w = wbps16(6000)
+    pcm_w = wbps16(4096)
     _roundtrip(pcm_fsd, 16, 5, oracle_flac, tmp_path,
                do_exhaustive_model_search=True)
     _roundtrip(pcm_w, 16, 5, oracle_flac, tmp_path,
@@ -143,7 +149,7 @@ def test_exhaustive_flags_on_pathological(oracle_flac, tmp_path):
 
 def test_silence_and_dc(oracle_flac, tmp_path):
     """All-zero and constant-DC signals: constant subframes end-to-end."""
-    z = np.zeros((2, 12000), np.int32)
-    dc = np.full((2, 12000), -1234, np.int32)
+    z = np.zeros((2, 8192), np.int32)
+    dc = np.full((2, 8192), -1234, np.int32)
     _roundtrip(z, 16, 8, oracle_flac, tmp_path)
     _roundtrip(dc, 16, 0, oracle_flac, tmp_path)
