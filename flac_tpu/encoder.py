@@ -43,13 +43,16 @@ def _bank_for(cfg: EncoderConfig, blocksize: int):
     return lpc_ops.build_apodization_bank(blocksize, cfg.apodizations)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "blocksize"))
+@functools.partial(jax.jit, static_argnames=("cfg", "blocksize", "layout"))
 def encode_batch(pcm, first_frame_number, cfg: EncoderConfig,
-                 blocksize: int):
+                 blocksize: int, layout: str = "auto"):
     """Encode a batch of equal-size blocks into packed FLAC frames.
 
     pcm: [B, C, N] int32 (N == blocksize)
     first_frame_number: scalar int — frame index of pcm[0]
+    layout: frame.assemble_frames pack layout ("auto" = fused-quad when
+    eligible; frames it can't represent come back ok=False and the host
+    re-encodes them with layout="safe" — see StreamEncoder._write_frames).
     Returns frame_mod.PackedFrames.
     """
     B = pcm.shape[0]
@@ -78,7 +81,8 @@ def encode_batch(pcm, first_frame_number, cfg: EncoderConfig,
         choice = choice._replace(type_=new_type)
     frame_numbers = first_frame_number + jnp.arange(B, dtype=jnp.int64)
     return frame_mod.assemble_frames(choice, signal, assignment,
-                                     frame_numbers, cfg, blocksize)
+                                     frame_numbers, cfg, blocksize,
+                                     layout=layout)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "blocksize",
@@ -105,11 +109,19 @@ def encode_batch_trimmed(pcm, first_frame_number, cfg: EncoderConfig,
     packed = encode_batch(pcm.astype(jnp.int32), first_frame_number, cfg,
                           blocksize)
     lens = packed.byte_len.astype(jnp.uint32)    # [B]
+    # bit 30 flags a quad-layout misfit (host re-encodes that frame)
+    lens = jnp.where(packed.ok, lens, lens | jnp.uint32(1 << 30))
     W = packed.words.shape[1]
     fw = min(fetch_words, W)
     main = jnp.concatenate([lens[:, None], packed.words[:, :fw]], axis=1)
     rest = packed.words[:, fw:]
     return main, rest
+
+
+@jax.jit
+def _flag_lens(byte_len, ok):
+    """Mark quad-layout misfit frames with bit 30 of the fetched length."""
+    return jnp.where(ok, byte_len, byte_len | (1 << 30))
 
 
 @functools.partial(jax.jit, static_argnames=("widen",))
@@ -145,7 +157,7 @@ class _SuperJob:
     """
 
     __slots__ = ("enc", "words_list", "lens_fut", "lens", "mb", "N", "base",
-                 "blocks", "slice_fut")
+                 "blocks", "slice_fut", "bad")
 
     def __init__(self, enc, words_list, lens_fut, mb, N, base, blocks):
         self.enc = enc
@@ -157,6 +169,7 @@ class _SuperJob:
         self.base = base
         self.blocks = blocks
         self.slice_fut = None
+        self.bad = None
 
     def poll(self):
         """Start the slice fetch as soon as lengths are available."""
@@ -164,8 +177,9 @@ class _SuperJob:
             self._start_slice()
 
     def _start_slice(self):
-        self.lens = np.asarray(self.lens_fut.result())[:self.mb] \
-            .astype(np.int64)
+        lens = np.asarray(self.lens_fut.result())[:self.mb].astype(np.int64)
+        self.bad = lens >= (1 << 30)     # quad-layout misfit flags
+        self.lens = lens & ((1 << 30) - 1)
         kw = (int(self.lens.max()) + 3) // 4
         kb = min(-(-kw // 256) * 256, self.words_list[0].shape[1])
         ws = _slice_concat(tuple(self.words_list), kb)
@@ -404,7 +418,7 @@ class StreamEncoder:
                               np.int64(self._frame_number + g * B),
                               self.cfg, N)
             words_list.append(pf.words)
-            lens_list.append(pf.byte_len)
+            lens_list.append(_flag_lens(pf.byte_len, pf.ok))
             self._poll_supers()
         lens = _concat_lens(tuple(lens_list)) if G > 1 else lens_list[0]
         try:
@@ -413,8 +427,7 @@ class StreamEncoder:
             pass
         lens_fut = self._fetch_pool.submit(np.asarray, lens)
         job = _SuperJob(self, words_list, lens_fut, mb, N,
-                        self._frame_number,
-                        blocks if self.verify else None)
+                        self._frame_number, blocks)
         self._inflight.append(("s", job))
         self._frame_number += mb
         self._poll_supers()
@@ -443,8 +456,7 @@ class StreamEncoder:
             pass
         fut = self._fetch_pool.submit(np.asarray, main)
         self._inflight.append(
-            ("b", fut, rest, blocks if self.verify else None, B, N,
-             self._frame_number))
+            ("b", fut, rest, blocks, B, N, self._frame_number))
         self._frame_number += B
         self._poll_supers()
         while len(self._inflight) > self._pipeline_depth:
@@ -457,6 +469,7 @@ class StreamEncoder:
             job = entry[1]
             buf, lens = job.wait()
             B, N, base_frame, blocks = job.mb, job.N, job.base, job.blocks
+            bad = job.bad
             wbytes = buf[:B].astype(">u4", order="C").view(np.uint8) \
                 .reshape(B, -1)
             if int(lens.max()) > wbytes.shape[1]:
@@ -467,11 +480,14 @@ class StreamEncoder:
                     f"frame exceeded super-chunk fetch buffer: "
                     f"{int(lens.max())} > {wbytes.shape[1]} (encoder bug)")
             self._poll_supers()
-            self._write_frames(wbytes, lens, blocks, B, N, base_frame)
+            self._write_frames(wbytes, lens, blocks, B, N, base_frame,
+                               bad=bad)
             return
         _, fut, rest, blocks, B, N, base_frame = entry
         buf = fut.result()
         lens = buf[:, 0].astype(np.int64)
+        bad = lens >= (1 << 30)
+        lens = lens & ((1 << 30) - 1)
         fw = buf.shape[1] - 1
         wbytes = buf[:, 1:].astype(">u4", order="C").view(np.uint8) \
             .reshape(B, -1)
@@ -487,9 +503,45 @@ class StreamEncoder:
                 raise RuntimeError(
                     f"frame exceeded worst-case pack buffer: "
                     f"{int(lens.max())} > {wbytes.shape[1]} (encoder bug)")
-        self._write_frames(wbytes, lens, blocks, B, N, base_frame)
+        self._write_frames(wbytes, lens, blocks, B, N, base_frame, bad=bad)
 
-    def _write_frames(self, wbytes, lens, blocks, B, N, base_frame):
+    def _replace_bad_frames(self, wbytes, lens, blocks, bad, N,
+                            base_frame):
+        """Re-encode quad-layout misfit frames through the exact safe
+        layout (one-field-per-sample pack) and splice them in.  Rare by
+        construction — pathological k/q combinations, verbatim subframes
+        at high widths — so the B=1 safe trace compiles lazily and runs
+        only for flagged frames."""
+        if blocks is None:
+            raise RuntimeError(
+                "flagged frames but no retained blocks (encoder bug)")
+        lens = np.array(lens, np.int64, copy=True)
+        rows = {}
+        maxlen = int(lens.max())
+        for i in np.nonzero(bad)[0]:
+            i = int(i)
+            pf = encode_batch(
+                jnp.asarray(blocks[i:i + 1].astype(np.int32)),
+                np.int64(base_frame + i), self.cfg, N, layout="safe")
+            w = np.asarray(pf.words)[0]
+            ln = int(np.asarray(pf.byte_len)[0])
+            rows[i] = (np.ascontiguousarray(w).astype(">u4")
+                       .view(np.uint8), ln)
+            maxlen = max(maxlen, ln)
+        if maxlen > wbytes.shape[1]:
+            wbytes = np.pad(wbytes, ((0, 0), (0, maxlen - wbytes.shape[1])))
+        elif not wbytes.flags.writeable:
+            wbytes = wbytes.copy()
+        for i, (rb, ln) in rows.items():
+            wbytes[i, :ln] = rb[:ln]
+            lens[i] = ln
+        return wbytes, lens
+
+    def _write_frames(self, wbytes, lens, blocks, B, N, base_frame,
+                      bad=None):
+        if bad is not None and bad.any():
+            wbytes, lens = self._replace_bad_frames(
+                wbytes, lens, blocks, bad, N, base_frame)
         if self._native:
             blob = self._native.gather_frames(wbytes, lens)
         else:

@@ -61,4 +61,23 @@ def encode_blocks_dp(blocks: np.ndarray, first_frame_number: int,
     out = encode_batch_sharded(jnp.asarray(blocks),
                                np.int64(first_frame_number), cfg,
                                blocks.shape[-1], mesh)
-    return (np.asarray(out.words)[:B], np.asarray(out.byte_len)[:B])
+    words = np.asarray(out.words)[:B]
+    lens = np.asarray(out.byte_len)[:B]
+    ok = np.asarray(out.ok)[:B]
+    if not ok.all():
+        # quad-layout misfit on this content: splice in exact safe-layout
+        # re-encodes of just the flagged frames
+        words = np.array(words, copy=True)
+        lens = np.array(lens, copy=True)
+        for i in np.nonzero(~ok)[0]:
+            i = int(i)
+            pf = encode_batch(jnp.asarray(blocks[i:i + 1]),
+                              np.int64(first_frame_number + i), cfg,
+                              blocks.shape[-1], layout="safe")
+            w = np.asarray(pf.words)[0]
+            if w.shape[0] > words.shape[1]:
+                words = np.pad(words,
+                               ((0, 0), (0, w.shape[0] - words.shape[1])))
+            words[i, :w.shape[0]] = w
+            lens[i] = int(np.asarray(pf.byte_len)[0])
+    return words, lens
