@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="allow non-subset encodings")
     p.add_argument("--batch-frames", type=int, default=64,
                    help="frames per device batch (TPU tuning)")
+    p.add_argument("-j", "--threads", type=int, default=None,
+                   help="worker parallelism hint (reference -j; here it "
+                   "scales the fetch/dispatch pipeline depth — frames "
+                   "are always batch-parallel on device)")
     p.add_argument("-e", "--exhaustive-model-search", action="store_true",
                    help="evaluate every LPC order instead of the guess")
     p.add_argument("-p", "--qlp-coeff-precision-search", action="store_true",
@@ -364,10 +368,13 @@ def do_encode(args, path: str) -> int:
             ratio = bytes_written / max(done * cfg.channels * nb, 1)
             print(f"\r{path}: {done * 100 // total}% complete, "
                   f"ratio={ratio:.3f}", end="", file=sys.stderr)
+    enc_kw = {}
+    if args.threads:
+        enc_kw["pipeline_depth"] = max(2, args.threads)
     enc = StreamEncoder(out, cfg, batch_frames=args.batch_frames,
                         padding=args.padding, extra_metadata=extra,
                         seektable=seektable, verify=args.verify,
-                        progress_callback=progress)
+                        progress_callback=progress, **enc_kw)
     enc.process(samples)
     st = enc.finish()
     if progress is not None:

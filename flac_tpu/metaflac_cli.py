@@ -58,9 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--show-total-samples", action="store_true")
     p.add_argument("--show-vendor-tag", action="store_true")
     p.add_argument("--show-tag", action="append", default=[])
+    p.add_argument("--show-all-tags", action="store_true")
     p.add_argument("--set-tag", action="append", default=[])
     p.add_argument("--set-tag-from-file", action="append", default=[])
     p.add_argument("--remove-tag", action="append", default=[])
+    p.add_argument("--remove-first-tag", action="append", default=[])
+    p.add_argument("--remove-all-tags-except", type=str,
+                   help="'='-separated tag names to keep")
     p.add_argument("--remove-all-tags", action="store_true")
     p.add_argument("--export-tags-to")
     p.add_argument("--import-tags-from")
@@ -77,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remove-all", action="store_true")
     p.add_argument("--merge-padding", action="store_true")
     p.add_argument("--sort-padding", action="store_true")
+    p.add_argument("--dont-use-padding", action="store_true",
+                   help="always rewrite the file instead of resizing "
+                        "padding in place")
+    p.add_argument("--preserve-modtime", action="store_true",
+                   help="keep the file's modification time across edits")
+    p.add_argument("--no-cued-seekpoints", action="store_true",
+                   help="with --import-cuesheet-from: do not add "
+                        "seekpoints for track indices")
+    p.add_argument("--with-filename", dest="with_filename",
+                   action="store_true", default=None)
+    p.add_argument("--no-filename", dest="with_filename",
+                   action="store_false")
     p.add_argument("--append", action="store_true",
                    help="append binary metadata block(s) from stdin after "
                    "--block-number (operations.c:235-330)")
@@ -279,6 +295,10 @@ def process_file(args, path: str) -> int:
         if vc:
             for v in vc.get(name):
                 print(f"{name}={v}")
+    if args.show_all_tags:
+        vc = _vc(chain, create=False)
+        for c in (vc.comments if vc else []):
+            print(c)
     for spec in args.set_tag:
         name, _, value = spec.partition("=")
         _vc(chain).set(name, value, replace_all=False)
@@ -304,6 +324,24 @@ def process_file(args, path: str) -> int:
         vc = _vc(chain, create=False)
         if vc and vc.remove(name):
             dirty = True
+    for name in args.remove_first_tag:
+        vc = _vc(chain, create=False)
+        if vc:
+            for j, c in enumerate(vc.comments):
+                if c.upper().startswith(name.upper() + "="):
+                    del vc.comments[j]
+                    dirty = True
+                    break
+    if args.remove_all_tags_except is not None:
+        keep = {n.strip().upper()
+                for n in args.remove_all_tags_except.split("=") if n}
+        vc = _vc(chain, create=False)
+        if vc:
+            kept = [c for c in vc.comments
+                    if c.split("=", 1)[0].upper() in keep]
+            if kept != vc.comments:
+                vc.comments = kept
+                dirty = True
     if args.remove_all_tags:
         vc = _vc(chain, create=False)
         if vc:
@@ -365,6 +403,24 @@ def process_file(args, path: str) -> int:
         chain.blocks = [b for b in chain.blocks
                         if b.TYPE != fmt.METADATA_TYPE_CUESHEET]
         chain.blocks.insert(1, cue)
+        if not args.no_cued_seekpoints:
+            # seekpoints at every track index offset (grabbag
+            # seektable.c cued-seekpoints behavior)
+            pts = sorted({t.offset + ix.offset for t in cue.tracks
+                          for ix in (t.indices or [])
+                          if t.number != 170})
+            if pts:
+                tbl = chain.get(fmt.METADATA_TYPE_SEEKTABLE)
+                if tbl is None:
+                    tbl = md.SeekTableBlock(points=[])
+                    chain.blocks.insert(1, tbl)
+                have = {p.sample_number for p in tbl.points}
+                for sp in pts:
+                    if sp not in have:
+                        tbl.points.append(md.SeekPoint(sp, 0, 0))
+                tbl.points.sort(key=lambda p: (
+                    p.sample_number == 0xFFFFFFFFFFFFFFFF,
+                    p.sample_number))
         dirty = True
     if args.export_cuesheet_to:
         from .cuesheet import emit_cuesheet
@@ -489,7 +545,16 @@ def process_file(args, path: str) -> int:
                     type_want=want, type_block=block)
 
     if dirty:
-        chain.write_file(path)
+        import os
+        mtime = os.stat(path) if args.preserve_modtime else None
+        if args.dont_use_padding:
+            with open(path, "wb") as f:
+                f.write(chain._serialize(use_padding=False)
+                        + chain._frames)
+        else:
+            chain.write_file(path)
+        if mtime is not None:
+            os.utime(path, (mtime.st_atime, mtime.st_mtime))
     return 0
 
 

@@ -378,8 +378,16 @@ def assemble_frames(choice: SubframeChoice, signal, assignment,
     max_words = 1 << int(np.ceil(np.log2(worst_bits / 32 + 2)))
 
     if quad:
-        words, total_bits = bitpack.pack_fields64(nzeros, payload, pbits,
-                                                  max_words)
+        from ..ops import pack_pallas
+        if pack_pallas.available():
+            words, total_bits = pack_pallas.pack_fields64_mxu(
+                nzeros, payload, pbits, max_words)
+            # frames beyond the kernel's word capacity take the safe path
+            fit_list.append(total_bits
+                            <= pack_pallas.capacity_bits(max_words) - 16)
+        else:
+            words, total_bits = bitpack.pack_fields64(nzeros, payload,
+                                                      pbits, max_words)
     else:
         words, total_bits = bitpack.pack_fields(nzeros, payload, pbits,
                                                 max_words)

@@ -80,6 +80,30 @@ def pack_fields(nzeros, payload, pbits, max_words: int):
     return words, total_bits
 
 
+def _field_contribs64(nzeros, payload64, pbits):
+    """Per-field word index + the three word-aligned contribution planes
+    of a <=63-bit payload (shared by the scatter and MXU packers)."""
+    nbits = nzeros + pbits
+    end = jnp.cumsum(nbits, axis=1, dtype=jnp.int32)
+    total_bits = end[:, -1]
+    pos = end - pbits
+    w = (pos >> 5).astype(jnp.int32)
+    sh = pos & 31
+    t = sh + pbits                        # field end within 3-word window
+    pay = payload64.astype(jnp.uint64)
+    cs = []
+    for j in range(3):
+        d = 32 * (j + 1) - t              # left-shift amount into word j
+        contrib = jnp.where(
+            d >= 0,
+            jnp.where(d >= 64, jnp.uint64(0),
+                      pay << jnp.clip(d, 0, 63).astype(jnp.uint64)),
+            pay >> jnp.clip(-d, 0, 63).astype(jnp.uint64)
+        ).astype(jnp.uint32)
+        cs.append(jnp.where(pbits > 0, contrib, jnp.uint32(0)))
+    return w, cs, total_bits
+
+
 def pack_fields64(nzeros, payload64, pbits, max_words: int):
     """64-bit-payload packer: like pack_fields but payloads up to 63 bits
     (a fused run of up to four Rice codes — see models/frame.py's quad
@@ -90,28 +114,15 @@ def pack_fields64(nzeros, payload64, pbits, max_words: int):
     pbits:     [B, S] int32 in [0, 63]
     Scatter cost is ~9 ns/ELEMENT regardless of payload width (measured),
     so 3 planes at a quarter of the fields beats 2 planes at full count.
+    ops/pack_pallas.py replaces this with an MXU one-hot matmul when a
+    TPU backend is live.
     """
     B, S = nzeros.shape
-    nbits = nzeros + pbits
-    end = jnp.cumsum(nbits, axis=1, dtype=jnp.int32)
-    total_bits = end[:, -1]
-    pos = end - pbits
-    w = (pos >> 5).astype(jnp.int32)
-    sh = pos & 31
-    t = sh + pbits                        # field end within 3-word window
-    pay = payload64.astype(jnp.uint64)
+    w, cs, total_bits = _field_contribs64(nzeros, payload64, pbits)
     words = jnp.zeros((B, max_words), jnp.uint32)
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, S))
     for j in range(3):
-        d = 32 * (j + 1) - t              # left-shift amount into word j
-        contrib = jnp.where(
-            d >= 0,
-            jnp.where(d >= 64, jnp.uint64(0),
-                      pay << jnp.clip(d, 0, 63).astype(jnp.uint64)),
-            pay >> jnp.clip(-d, 0, 63).astype(jnp.uint64)
-        ).astype(jnp.uint32)
-        contrib = jnp.where(pbits > 0, contrib, jnp.uint32(0))
-        words = words.at[b_idx, w + j].add(contrib, mode="drop")
+        words = words.at[b_idx, w + j].add(cs[j], mode="drop")
     return words, total_bits
 
 

@@ -81,3 +81,57 @@ def encode_blocks_dp(blocks: np.ndarray, first_frame_number: int,
             words[i, :w.shape[0]] = w
             lens[i] = int(np.asarray(pf.byte_len)[0])
     return words, lens
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel decode (restore phase sharded over the mesh)
+# ---------------------------------------------------------------------------
+
+def decode_frames_dp(data, st, frames, mesh: Mesh | None = None,
+                     channels: int | None = None) -> np.ndarray:
+    """Sharded batched decode of a same-shape frame list.
+
+    Phase 1 (native bit-parse) runs on the host; phase 2 — the uniform
+    LPC restore over all subframes — shards its subframe axis over the
+    mesh, the decode twin of encode_blocks_dp (each frame's samples stay
+    on its chip; no collectives).  Returns [C, F*N] int32 PCM,
+    byte-identical to the single-device path.
+    """
+    import jax
+
+    from .. import native
+    from ..decoder_fast import _group_arrays, restore_and_undo, \
+        _bucket_order
+
+    mesh = mesh or data_mesh()
+    n_dev = mesh.devices.size
+    blocksize = frames[0]["blocksize"]
+    channels = channels or frames[0]["channels"]
+    idxs = list(range(len(frames)))
+    offsets, start_bits, sizes, asg, ch_bps = _group_arrays(
+        frames, idxs, channels)
+    pg = native.parse_frames(
+        data if isinstance(data, np.ndarray)
+        else np.frombuffer(data, np.uint8),
+        offsets, start_bits, sizes, ch_bps, blocksize)
+    F = len(idxs)
+    Fp = -(-F // n_dev) * n_dev          # pad frames to the mesh size
+    S, Sp = F * channels, Fp * channels
+    pad_s = ((0, Sp - S),)
+    mo = _bucket_order(int(pg.order.max(initial=0)))
+
+    def put(a, spec):
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    res = np.pad(pg.res, (pad_s[0], (0, 0)))
+    out = restore_and_undo(
+        put(res, P("frames", None)),
+        put(np.pad(pg.order, pad_s), P("frames")),
+        put(np.pad(pg.shift, pad_s), P("frames")),
+        put(np.pad(pg.qlp[:, :mo], (pad_s[0], (0, 0))), P("frames", None)),
+        put(np.pad(pg.wasted, pad_s), P("frames")),
+        put(np.pad(asg, (0, Fp - F)), P("frames")),
+        blocksize=blocksize, channels=channels, max_order=mo,
+        wide=pg.wide, out16=False)
+    sig = np.asarray(out)[:F].astype(np.int32)       # [F, C, N]
+    return sig.transpose(1, 0, 2).reshape(channels, F * blocksize)

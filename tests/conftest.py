@@ -52,6 +52,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # worker stays far below the crash threshold while the hottest graphs
 # still load from cache.
 _CACHE_OP_BUDGET = int(os.environ.get("FLAC_TPU_CACHE_OPS", "40"))
+_CACHE_WRITES = os.environ.get("FLAC_TPU_CACHE_WRITE") == "1"
 from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_get = _cc.get_executable_and_time
@@ -67,7 +68,9 @@ def _capped_get(*a, **k):
 
 
 def _capped_put(*a, **k):
-    if _budget["n"] <= 0:
+    # serialize() is the crashier direction: writes only in the
+    # explicitly opted-in warmer run (FLAC_TPU_CACHE_WRITE=1)
+    if not _CACHE_WRITES or _budget["n"] <= 0:
         return None
     _budget["n"] -= 1
     return _orig_put(*a, **k)

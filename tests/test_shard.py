@@ -65,3 +65,28 @@ def test_ragged_batch_padding():
     for i in range(11):
         assert np.array_equal(w1[i, :(l1[i] + 3) // 4],
                               w8[i, :(l8[i] + 3) // 4])
+
+
+def test_decode_dp_topology_identity():
+    """Sharded decode (restore over the mesh) is byte-identical across
+    1-device and 8-device meshes and to the input PCM."""
+    import jax
+    import numpy as np
+
+    from flac_tpu import EncoderConfig
+    from flac_tpu.decoder import parse_metadata, scan_frames
+    from flac_tpu.encoder import encode_file_to_flac
+    from flac_tpu.parallel.shard import data_mesh, decode_frames_dp
+    from tests.conftest import make_test_signal
+
+    pcm = make_test_signal(4096 * 8)
+    data = encode_file_to_flac(pcm, EncoderConfig.from_preset(5),
+                               batch_frames=8)
+    st, pos = parse_metadata(data, 4)
+    frames = scan_frames(data, st, pos)
+    out8 = decode_frames_dp(data, st, frames,
+                            data_mesh(jax.devices()[:8]))
+    out1 = decode_frames_dp(data, st, frames,
+                            data_mesh(jax.devices()[:1]))
+    np.testing.assert_array_equal(out8, out1)
+    np.testing.assert_array_equal(out8, pcm)
