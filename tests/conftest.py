@@ -51,7 +51,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 # Combined with pytest-xdist file splitting (pytest.ini: -n 2), each
 # worker stays far below the crash threshold while the hottest graphs
 # still load from cache.
-_CACHE_OP_BUDGET = int(os.environ.get("FLAC_TPU_CACHE_OPS", "40"))
+# Default 0 = persistent cache fully OFF for the suite: cached CPU AOT
+# entries deserialize with mismatched target-feature flags on this image
+# (xla cpu_aot_loader warns "+prefer-no-scatter ... could lead to
+# SIGILL") and intermittently kill xdist workers mid-run — a crashed
+# worker wedges the whole session.  Cold compiles are slower (~40 min
+# full suite on 2 CPUs) but deterministic.  Opt back in with
+# FLAC_TPU_CACHE_OPS=N (+ FLAC_TPU_CACHE_WRITE=1 for the warmer).
+_CACHE_OP_BUDGET = int(os.environ.get("FLAC_TPU_CACHE_OPS", "0"))
 _CACHE_WRITES = os.environ.get("FLAC_TPU_CACHE_WRITE") == "1"
 from jax._src import compilation_cache as _cc  # noqa: E402
 
