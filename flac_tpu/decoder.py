@@ -476,11 +476,75 @@ def scan_frames(data: bytes, st: DecodedStream, start: int):
 # Top-level decode
 # ---------------------------------------------------------------------------
 
+_LINK_BW_MBPS: float | None = None
+
+
+def probe_link_bandwidth() -> float:
+    """Effective host<->device transfer bandwidth in MB/s, measured once
+    per process (one 4 MB round trip after warm-up) and cached.  Returns
+    inf on the CPU platform (host IS the device) and 0.0 when no device
+    is reachable.  Override with FLAC_TPU_LINK_MBPS for deterministic
+    engine-policy tests."""
+    global _LINK_BW_MBPS
+    if _LINK_BW_MBPS is not None:
+        return _LINK_BW_MBPS
+    import os
+    import time
+    env = os.environ.get("FLAC_TPU_LINK_MBPS")
+    if env:
+        _LINK_BW_MBPS = float(env)
+        return _LINK_BW_MBPS
+    try:
+        import jax
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            _LINK_BW_MBPS = float("inf")
+            return _LINK_BW_MBPS
+        f = jax.jit(lambda x, s: x + s)
+        buf = jax.device_put(np.zeros((4 << 20,), np.uint8))
+        np.asarray(f(buf, np.uint8(1)))      # pays cold spin-up + compile
+        t0 = time.perf_counter()
+        np.asarray(f(buf, np.uint8(2)))
+        dt = max(time.perf_counter() - t0, 1e-9)
+        _LINK_BW_MBPS = (4 << 20) / dt / 1e6
+    except Exception:
+        _LINK_BW_MBPS = 0.0
+    return _LINK_BW_MBPS
+
+
+# measured all-CPU fused-decode rate per core on this class of hardware
+# (PERF.md) — the engine policy's host-side wall model
+_HOST_DECODE_MBPS_PER_CORE = 150.0
+
+
+def _pick_engine(frames: list) -> str:
+    """Route engine="auto" by a wall-clock model instead of blind device
+    preference (the round-4 policy decoded 6x slower than the repo's own
+    host path whenever the link was the bottleneck).
+
+    Device decode moves ~2x PCM over the link (residuals up + PCM down);
+    the host engine runs at ~_HOST_DECODE_MBPS_PER_CORE x cores.  Small
+    streams always go host: jit compiles + the link's cold-start cost
+    dominate any device win.
+    """
+    import os
+    pcm_bytes = sum(f["blocksize"] * f["channels"] * 2 for f in frames)
+    if pcm_bytes < (32 << 20):
+        return "host"
+    bw = probe_link_bandwidth()
+    if bw == float("inf"):      # CPU platform: device path == host memory
+        return "fast"
+    cores = os.cpu_count() or 1
+    host_mbps = _HOST_DECODE_MBPS_PER_CORE * min(cores, 8)
+    return "fast" if bw / 2.0 > host_mbps else "host"
+
+
 def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
                       *, verify_crc: bool = True,
                       max_batch: int = 1024,
                       on_crc_error: str = "raise",
-                      engine: str = "auto") -> list[np.ndarray]:
+                      engine: str = "auto",
+                      md5_hasher=None) -> list[np.ndarray]:
     """Batched device decode of an explicit frame-header list.
 
     Each entry needs offset/size/assignment/bps/channels/blocksize (as
@@ -493,13 +557,18 @@ def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
     st.errors — the resync-and-continue behavior of the reference
     (stream_decoder.c:2476-2480, error callback + SEARCH_FOR_FRAME_SYNC).
 
-    engine: "auto" = native bit-parse + device restore when the native
-    library is available (decoder_fast), falling back to the all-device
-    scan decoder; "fast" forces the former, "host" the all-CPU path,
-    "scan" the all-device per-sample scan (the correctness oracle).
+    engine: "auto" picks by a measured wall-clock model (_pick_engine):
+    the fused all-CPU engine when the host<->device link would be the
+    bottleneck (or the stream is small), else the two-phase device
+    engine; "fast" forces native bit-parse + device restore
+    (decoder_fast), "host" the all-CPU path, "scan" the all-device
+    per-sample scan (the correctness oracle).  Falls back to "scan"
+    when the native library is unavailable.
     """
     from . import native as _native
-    if engine in ("auto", "fast") and _native.AVAILABLE and frames:
+    if engine == "auto" and _native.AVAILABLE and frames:
+        engine = _pick_engine(frames)
+    if engine == "fast" and _native.AVAILABLE and frames:
         from .decoder_fast import decode_frame_list_fast
         return decode_frame_list_fast(
             data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
@@ -508,7 +577,7 @@ def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
         from .decoder_fast import decode_frame_list_host
         return decode_frame_list_host(
             data, st, frames, verify_crc=verify_crc,
-            on_crc_error=on_crc_error)
+            on_crc_error=on_crc_error, md5_hasher=md5_hasher)
     results: list[np.ndarray | None] = [None] * len(frames)
     # group equal-shape frames for batched decode
     groups: dict[tuple, list[int]] = {}
@@ -641,10 +710,17 @@ def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
         st.samples = np.zeros((max(st.channels, 1), 0), np.int32)
         return st
 
+    hasher = None
+    if verify_md5 and not tolerant and st.md5 != b"\x00" * 16:
+        from . import native as _native
+        if _native.AVAILABLE:
+            from .decoder_fast import StreamHasher
+            hasher = StreamHasher(st.bits_per_sample)
     try:
         results = decode_frame_list(
             data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
-            on_crc_error="drop" if tolerant else "raise", engine=engine)
+            on_crc_error="drop" if tolerant else "raise", engine=engine,
+            md5_hasher=hasher)
     except FlacDecodeError:
         if tolerant:
             raise
@@ -657,12 +733,16 @@ def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
         if repaired == frames:
             raise
         frames = st.frames = repaired
+        hasher = None    # first attempt's partial hash is stale
         results = decode_frame_list(
             data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
             on_crc_error="raise", engine=engine)
 
     if tolerant:
         st.samples = _assemble_with_concealment(st, frames, results)
+    elif getattr(st, "_assembled", None) is not None:
+        st.samples = st._assembled      # host engine decoded in place
+        st._assembled = None
     else:
         st.samples = np.concatenate(results, axis=1) if results else \
             np.zeros((st.channels, 0), np.int32)
@@ -670,16 +750,23 @@ def decode_stream_tpu(data: bytes, *, verify_md5: bool = True,
         st.samples = st.samples[:, :st.total_samples]
     st.md5_ok = True
     if verify_md5 and st.md5 != b"\x00" * 16:
-        from . import native as _native
-        if _native.AVAILABLE:
-            h = _native.MD5()
-            h.update_pcm(np.ascontiguousarray(st.samples),
-                         st.bits_per_sample)
-            got = h.digest()
-        else:
-            from .encoder import interleave_for_md5
-            got = hashlib.md5(interleave_for_md5(
-                st.samples, st.bits_per_sample)).digest()
+        got = None
+        if (hasher is not None and hasher.valid
+                and hasher.nframes == len(frames)
+                and (not st.total_samples or st.total_samples
+                     == sum(f["blocksize"] for f in frames))):
+            got = hasher.digest()    # hashed in-stream during decode
+        if got is None:
+            from . import native as _native
+            if _native.AVAILABLE:
+                h = _native.MD5()
+                h.update_pcm(np.ascontiguousarray(st.samples),
+                             st.bits_per_sample)
+                got = h.digest()
+            else:
+                from .encoder import interleave_for_md5
+                got = hashlib.md5(interleave_for_md5(
+                    st.samples, st.bits_per_sample)).digest()
         if got != st.md5:
             if tolerant:
                 st.md5_ok = False

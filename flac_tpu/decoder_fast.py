@@ -52,17 +52,21 @@ def _bucket_order(mo: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("blocksize", "channels", "max_order", "unroll",
-                     "wide", "out16"))
+                     "wide", "out16", "bps"))
 def restore_and_undo(res, order, shift, qlp, wasted, assignment, *,
                      blocksize: int, channels: int, max_order: int,
                      unroll: int = 16, wide: bool = False,
-                     out16: bool = False):
+                     out16: bool = False, bps: int = 0):
     """Uniform batched subframe restore + stereo undo.
 
     res:        [S, N] int16/int32 (int64 when wide) normalized residuals
     order/shift/wasted: [S] int32;  qlp: [S, max_order] int32
     assignment: [B] int32 (S = B * channels)
-    Returns [B, channels, N] PCM (int16 when out16, else int32/int64).
+    Returns ([B, channels, N] PCM (int16 when out16, else int32/int64),
+             [B] bool out-of-range flags — the stream_decoder.c:2458-2472
+             bps-range lost-sync check, evaluated BEFORE any narrowing so
+             wrapped int16 values cannot evade it).  bps=0 disables the
+             check (flags all False).
     """
     S = res.shape[0]
     N = blocksize
@@ -112,9 +116,14 @@ def restore_and_undo(res, order, shift, qlp, wasted, assignment, *,
                    jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
                              (((a << 1) | (b & 1)) - b) >> 1, b)))
         sig = jnp.stack([left, right], axis=1)
+    if bps:
+        lim = jnp.asarray(1 << (bps - 1), sig.dtype)
+        oor = jnp.any((sig < -lim) | (sig >= lim), axis=(1, 2))
+    else:
+        oor = jnp.zeros((sig.shape[0],), bool)
     if out16:
-        return sig.astype(jnp.int16)
-    return sig if wide else sig.astype(jnp.int32)
+        return sig.astype(jnp.int16), oor
+    return (sig if wide else sig.astype(jnp.int32)), oor
 
 
 def _group_arrays(frames, idxs, channels):
@@ -172,15 +181,15 @@ def _dispatch_batch(arr, frames, idxs, blocksize, channels, bps,
         res = np.pad(res, ((0, Sp - S), (0, 0)))
     pad_s = ((0, Sp - S),)
     mo = _bucket_order(int(pg.order.max(initial=0)))
-    out = restore_and_undo(
+    out, oor = restore_and_undo(
         jnp.asarray(res), jnp.asarray(np.pad(pg.order, pad_s)),
         jnp.asarray(np.pad(pg.shift, pad_s)),
         jnp.asarray(np.pad(pg.qlp[:, :mo], (pad_s[0], (0, 0)))),
         jnp.asarray(np.pad(pg.wasted, pad_s)),
         jnp.asarray(np.pad(asg, (0, Fp - F))),
         blocksize=blocksize, channels=channels, max_order=mo,
-        wide=pg.wide, out16=(bps <= 16 and not pg.wide))
-    return out, pg, asg
+        wide=pg.wide, out16=(bps <= 16 and not pg.wide), bps=bps)
+    return (out, oor), pg, asg
 
 
 def decode_frame_list_fast(data, st: DecodedStream, frames: list, *,
@@ -227,13 +236,13 @@ def decode_frame_list_fast(data, st: DecodedStream, frames: list, *,
                     f"frame {'CRC16 mismatch' if label == 'FRAME_CRC_MISMATCH' else 'parse failure (lost sync)'}"
                     f" at frame {frames[idxs[j]]['number']}")
             bad[j] = label
-        sig_np = fut.result()[:F]
+        sig_np, oor_flags = fut.result()
+        sig_np = sig_np[:F]
         if sig_np.dtype != np.int32:
             sig_np = sig_np.astype(np.int32)
-        # decoded-sample range check (stream_decoder.c:2458-2472)
-        lim = 1 << (st.bits_per_sample - 1)
-        oor = np.nonzero(np.any((sig_np < -lim) | (sig_np >= lim),
-                                axis=(1, 2)))[0]
+        # decoded-sample range check (stream_decoder.c:2458-2472), computed
+        # on device on the pre-narrowed signal (see restore_and_undo)
+        oor = np.nonzero(oor_flags[:F])[0]
         for j in oor:
             j = int(j)
             if j in bad:
@@ -269,14 +278,16 @@ def decode_frame_list_fast(data, st: DecodedStream, frames: list, *,
             ensure_parsed(bi + pipeline_depth)
             pf = parse_futs.pop(bi)
             bps = st.bits_per_sample or max(frames[i]["bps"] for i in idxs)
-            out, pg, asg = _dispatch_batch(arr, frames, idxs, blocksize,
-                                           channels, bps,
-                                           parsed=pf.result())
-            try:
-                out.copy_to_host_async()
-            except AttributeError:
-                pass
-            fut = pool.submit(np.asarray, out)
+            (out, oor), pg, asg = _dispatch_batch(arr, frames, idxs,
+                                                  blocksize, channels, bps,
+                                                  parsed=pf.result())
+            for dv in (out, oor):
+                try:
+                    dv.copy_to_host_async()
+                except AttributeError:
+                    pass
+            fut = pool.submit(lambda o=out, r=oor: (np.asarray(o),
+                                                    np.asarray(r)))
             inflight.append((fut, pg, asg, idxs, blocksize, channels))
             while len(inflight) > pipeline_depth:
                 commit(*inflight.pop(0))
@@ -288,45 +299,132 @@ def decode_frame_list_fast(data, st: DecodedStream, frames: list, *,
     return results
 
 
+class StreamHasher:
+    """Incremental stream-order MD5 (md5.c:497 FLAC__MD5Accumulate):
+    hashes committed frames while later chunks are still decoding, hiding
+    the hash cost inside the decode wall.  Becomes invalid if any frame
+    fails, is skipped, or arrives out of stream order — callers then fall
+    back to hashing the assembled samples."""
+
+    def __init__(self, bps: int):
+        self.h = native.MD5()
+        self.bps = bps
+        self.valid = native.AVAILABLE
+        self.nframes = 0
+        self._next = 0
+
+    def _chain(self, idxs) -> bool:
+        if not self.valid:
+            return False
+        if list(idxs) != list(range(self._next, self._next + len(idxs))):
+            self.valid = False
+            return False
+        self._next += len(idxs)
+        self.nframes += len(idxs)
+        return True
+
+    def add_span(self, view, idxs) -> None:
+        """view: [C, n] int32 span of the final PCM array (any channel
+        stride) covering frames idxs — hashed in place, no copies."""
+        if self._chain(idxs):
+            self.h.update_pcm(view, self.bps)
+
+    def add_packed(self, pcm, idxs) -> None:
+        """pcm: [F, C, N] int32 decoded chunk for frame indices idxs."""
+        if self._chain(idxs):
+            for j in range(len(idxs)):
+                self.h.update_pcm(pcm[j], self.bps)
+
+    def digest(self) -> bytes:
+        return self.h.digest()
+
+
 def decode_frame_list_host(data, st: DecodedStream, frames: list, *,
                            verify_crc: bool = True,
-                           on_crc_error: str = "raise") -> list:
-    """All-CPU decode path (native parse + native restore): used for
-    seeks and tooling where a device round-trip would dominate."""
+                           on_crc_error: str = "raise",
+                           workers: int | None = None,
+                           md5_hasher: StreamHasher | None = None) -> list:
+    """All-CPU decode path: ONE fused native pass per frame (parse +
+    in-place restore + stereo undo + range check, ft_decode_frames),
+    frame chunks split across a thread pool (ctypes releases the GIL),
+    decoding straight into the final channel-major PCM array (no
+    assembly pass; st._assembled exposes it to decode_stream_tpu).
+    The host twin of the reference's single-threaded read_frame_ loop —
+    but data-parallel over the frame table, so it scales with cores.
+    Used by engine="auto" whenever the host↔device link would be the
+    bottleneck, and for seeks/tooling."""
     results: list[np.ndarray | None] = [None] * len(frames)
     groups: dict[tuple, list[int]] = {}
     for i, f in enumerate(frames):
         groups.setdefault((f["blocksize"], f["channels"]), []).append(i)
     arr = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) \
         else data
-    lim = 1 << (st.bits_per_sample - 1)
-    for (blocksize, channels), idxs in groups.items():
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    nw = workers or min(8, os.cpu_count() or 1)
+    chunk = 64
+
+    # uniform channel count => decode all groups straight into one final
+    # [C, total] array at each frame's cumulative sample offset
+    st._assembled = None
+    offs = np.zeros(len(frames) + 1, np.int64)
+    for i, f in enumerate(frames):
+        offs[i + 1] = offs[i] + f["blocksize"]
+    chans = {f["channels"] for f in frames}
+    full = None
+    if len(chans) == 1:
+        full = np.empty((chans.pop(), int(offs[-1])), np.int32)
+
+    def run_chunk(idxs, blocksize, channels):
         offsets, start_bits, sizes, asg, ch_bps = _group_arrays(
             frames, idxs, channels)
-        pg = native.parse_frames(arr, offsets, start_bits, sizes, ch_bps,
-                                 blocksize)
-        x = native.restore_subframes(pg).reshape(-1, channels, blocksize)
-        if channels == 2:
-            x = _undo_stereo_np(x, asg)
-        for j, i in enumerate(idxs):
-            s = int(pg.status[j])
-            ok = s in (native.FT_OK, native.FT_EXTENT_MISMATCH) or \
-                (s == native.FT_CRC16_BAD and not verify_crc)
-            if ok and np.any((x[j] < -lim) | (x[j] >= lim)):
-                ok = False
-                s = native.FT_PARSE_ERR
-            if not ok:
-                label = ("FRAME_CRC_MISMATCH" if s == native.FT_CRC16_BAD
-                         else "LOST_SYNC")
-                if on_crc_error == "raise":
-                    raise FlacDecodeError(
-                        f"frame decode failure ({label}) at frame "
-                        f"{frames[i]['number']}")
-                if not hasattr(st, "errors"):
-                    st.errors = []
-                st.errors.append((label, frames[i]["number"]))
-                continue
-            results[i] = x[j].astype(np.int32)
+        return native.decode_frames_full(
+            arr, offsets, start_bits, sizes, ch_bps, blocksize, asg,
+            check_bps=st.bits_per_sample, verify_crc=verify_crc,
+            out=full, out_off=None if full is None else offs[list(idxs)])
+
+    jobs = []
+    with ThreadPoolExecutor(max_workers=nw) as pool:
+        for (blocksize, channels), idxs in groups.items():
+            for lo in range(0, len(idxs), chunk):
+                sub = idxs[lo:lo + chunk]
+                jobs.append((sub, blocksize,
+                             pool.submit(run_chunk, sub, blocksize,
+                                         channels)))
+        all_ok = True
+        for sub, blocksize, fut in jobs:
+            pcm, _end_bits, status = fut.result()
+            chunk_ok = True
+            for j, i in enumerate(sub):
+                s = int(status[j])
+                ok = s in (native.FT_OK, native.FT_EXTENT_MISMATCH) or \
+                    (s == native.FT_CRC16_BAD and not verify_crc)
+                if not ok:
+                    chunk_ok = all_ok = False
+                    label = ("FRAME_CRC_MISMATCH"
+                             if s == native.FT_CRC16_BAD else "LOST_SYNC")
+                    if on_crc_error == "raise":
+                        kind = ("CRC16 mismatch"
+                                if s == native.FT_CRC16_BAD
+                                else "parse failure (lost sync)")
+                        raise FlacDecodeError(
+                            f"frame {kind} at frame {frames[i]['number']}")
+                    if not hasattr(st, "errors"):
+                        st.errors = []
+                    st.errors.append((label, frames[i]["number"]))
+                    continue
+                results[i] = (full[:, offs[i]:offs[i] + blocksize]
+                              if full is not None else pcm[j])
+            if md5_hasher is not None:
+                if not chunk_ok:
+                    md5_hasher.valid = False
+                elif full is not None:
+                    md5_hasher.add_span(
+                        full[:, offs[sub[0]]:offs[sub[-1] + 1]], sub)
+                else:
+                    md5_hasher.add_packed(pcm, sub)
+        if full is not None and all_ok:
+            st._assembled = full
     return results
 
 

@@ -62,7 +62,7 @@ def _load():
     lib.ft_md5_update.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int64]
     lib.ft_md5_update_pcm.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int32]
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32]
     lib.ft_md5_final.argtypes = [ctypes.c_void_p, u8p]
     lib.ft_scan_frames.restype = ctypes.c_int64
     lib.ft_scan_frames.argtypes = [
@@ -78,6 +78,12 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, i64p, i32p]
+    lib.ft_decode_frames.restype = ctypes.c_int64
+    lib.ft_decode_frames.argtypes = [
+        u8p, ctypes.c_int64, i64p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, ctypes.c_int32, ctypes.c_int32, i32p, i64p, ctypes.c_int64,
+        i64p, i32p]
     lib.ft_restore.argtypes = [
         i32p, i32p, i32p, i32p, i32p,
         ctypes.c_int64, ctypes.c_int64, i64p]
@@ -126,13 +132,16 @@ class MD5:
         _lib.ft_md5_update(self._ctx, _u8(data), len(data))
 
     def update_pcm(self, pcm: np.ndarray, bps: int) -> None:
-        """pcm: [C, N] int32 C-contiguous; hashes the FLAC MD5 byte stream
-        (sample-major, little-endian, (bps+7)//8 bytes per sample)."""
-        pcm = np.ascontiguousarray(pcm, np.int32)
+        """pcm: [C, N] int32 with contiguous rows (any channel stride —
+        spans of a larger [C, total] array hash in place); hashes the FLAC
+        MD5 byte stream (sample-major, little-endian, (bps+7)//8 bytes
+        per sample)."""
+        if pcm.dtype != np.int32 or pcm.strides[1] != 4:
+            pcm = np.ascontiguousarray(pcm, np.int32)
         C, N = pcm.shape
         _lib.ft_md5_update_pcm(
             self._ctx, pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            C, N, (bps + 7) // 8)
+            C, N, pcm.strides[0] // 4, (bps + 7) // 8)
 
     def digest(self) -> bytes:
         # finalize a copy so the accumulator can keep going
@@ -196,6 +205,52 @@ FT_PARSE_ERR = 1
 FT_CRC16_BAD = 2
 FT_RES_OVERFLOW = 3
 FT_EXTENT_MISMATCH = 4
+FT_OOR = 5
+
+
+def decode_frames_full(data, offsets, start_bits, sizes, ch_bps,
+                       blocksize: int, assignment, check_bps: int = 0,
+                       verify_crc: bool = True, out=None, out_off=None):
+    """Fused all-CPU frame decode: parse + restore + stereo undo + range
+    check in one native pass (the host engine's hot loop).
+
+    With out=None returns (pcm [F, C, N] int32, end_bits, status); with
+    out (a [C, total] int32 array with contiguous rows) and out_off (per-
+    frame sample offsets) the frames decode straight into the final PCM
+    array — no assembly pass — and pcm is returned as None.
+    check_bps enables the stream_decoder.c:2458-2472 bps-range rejection
+    (status FT_OOR).  ctypes releases the GIL, so chunks of the frame
+    table parallelize across a thread pool.
+    """
+    arr = data if isinstance(data, np.ndarray) else \
+        np.frombuffer(data, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    start_bits = np.ascontiguousarray(start_bits, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    ch_bps = np.ascontiguousarray(ch_bps, np.int32)
+    assignment = np.ascontiguousarray(assignment, np.int32)
+    F, C = ch_bps.shape
+    end_bits = np.zeros(F, np.int64)
+    status = np.zeros(F, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if out is None:
+        dest = np.empty((F, C, blocksize), np.int32)
+        off_p, stride = None, 0
+    else:
+        assert out.dtype == np.int32 and out.strides[1] == 4
+        dest = out
+        out_off = np.ascontiguousarray(out_off, np.int64)
+        off_p, stride = out_off.ctypes.data_as(i64p), out.strides[0] // 4
+    _lib.ft_decode_frames(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(arr),
+        offsets.ctypes.data_as(i64p), start_bits.ctypes.data_as(i64p),
+        sizes.ctypes.data_as(i64p), ch_bps.ctypes.data_as(i32p),
+        F, C, blocksize, assignment.ctypes.data_as(i32p),
+        check_bps, int(verify_crc),
+        dest.ctypes.data_as(i32p), off_p, stride,
+        end_bits.ctypes.data_as(i64p), status.ctypes.data_as(i32p))
+    return (dest if out is None else None), end_bits, status
 
 
 class ParsedGroup:

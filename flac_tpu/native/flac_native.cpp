@@ -25,6 +25,11 @@ extern "C" {
 
 static uint8_t CRC8_TABLE[256];
 static uint16_t CRC16_TABLE[256];
+// slice-by-8 CRC16: TABLE8[k][b] = CRC of byte b followed by k zero bytes.
+// Processing 8 bytes per step quadruples throughput over the byte-at-a-
+// time loop (same idea as the reference's FLAC__crc16_update_words32,
+// crc.c slice tables — tables generated here, not copied).
+static uint16_t CRC16_TABLE8[8][256];
 static bool tables_ready = false;
 
 static void init_tables() {
@@ -39,6 +44,12 @@ static void init_tables() {
     CRC8_TABLE[i] = c8;
     CRC16_TABLE[i] = c16;
   }
+  for (int b = 0; b < 256; b++) CRC16_TABLE8[0][b] = CRC16_TABLE[b];
+  for (int k = 1; k < 8; k++)
+    for (int b = 0; b < 256; b++) {
+      uint16_t c = CRC16_TABLE8[k - 1][b];
+      CRC16_TABLE8[k][b] = (uint16_t)((c << 8) ^ CRC16_TABLE[c >> 8]);
+    }
   tables_ready = true;
 }
 
@@ -51,6 +62,15 @@ uint8_t ft_crc8(const uint8_t* data, int64_t len) {
 
 uint16_t ft_crc16(const uint8_t* data, int64_t len, uint16_t crc) {
   init_tables();
+  while (len >= 8) {
+    crc = (uint16_t)(CRC16_TABLE8[7][data[0] ^ (crc >> 8)] ^
+                     CRC16_TABLE8[6][data[1] ^ (crc & 0xff)] ^
+                     CRC16_TABLE8[5][data[2]] ^ CRC16_TABLE8[4][data[3]] ^
+                     CRC16_TABLE8[3][data[4]] ^ CRC16_TABLE8[2][data[5]] ^
+                     CRC16_TABLE8[1][data[6]] ^ CRC16_TABLE8[0][data[7]]);
+    data += 8;
+    len -= 8;
+  }
   for (int64_t i = 0; i < len; i++)
     crc = (uint16_t)((crc << 8) ^ CRC16_TABLE[(crc >> 8) ^ data[i]]);
   return crc;
@@ -90,33 +110,42 @@ static const int MD5_R[64] = {7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
                               6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21,
                               6, 10, 15, 21};
 
+// Fully unrolled rounds (the branchy loop form costs ~2x; MD5 is on the
+// decode wall for every verified stream, so this matters).
+#define MD5_STEP(f, a, b, c, d, i, r) \
+  a = b + rol32(a + (f) + MD5_K[i] + m[g_##r(i)], MD5_R[i])
+#define g_0(i) (i)
+#define g_1(i) ((5 * (i) + 1) & 15)
+#define g_2(i) ((3 * (i) + 5) & 15)
+#define g_3(i) ((7 * (i)) & 15)
+
 static void md5_block(MD5Ctx* c, const uint8_t* p) {
   uint32_t m[16];
-  for (int i = 0; i < 16; i++)
-    m[i] = (uint32_t)p[4 * i] | ((uint32_t)p[4 * i + 1] << 8) |
-           ((uint32_t)p[4 * i + 2] << 16) | ((uint32_t)p[4 * i + 3] << 24);
+  memcpy(m, p, 64);  // little-endian host
   uint32_t a = c->h[0], b = c->h[1], d0 = c->h[2], d1 = c->h[3];
-  for (int i = 0; i < 64; i++) {
-    uint32_t f;
-    int g;
-    if (i < 16) {
-      f = (b & d0) | (~b & d1);
-      g = i;
-    } else if (i < 32) {
-      f = (d1 & b) | (~d1 & d0);
-      g = (5 * i + 1) & 15;
-    } else if (i < 48) {
-      f = b ^ d0 ^ d1;
-      g = (3 * i + 5) & 15;
-    } else {
-      f = d0 ^ (b | ~d1);
-      g = (7 * i) & 15;
-    }
-    uint32_t tmp = d1;
-    d1 = d0;
-    d0 = b;
-    b = b + rol32(a + f + MD5_K[i] + m[g], MD5_R[i]);
-    a = tmp;
+  for (int i = 0; i < 16; i += 4) {
+    MD5_STEP((b & d0) | (~b & d1), a, b, d0, d1, i, 0);
+    MD5_STEP((a & b) | (~a & d0), d1, a, b, d0, i + 1, 0);
+    MD5_STEP((d1 & a) | (~d1 & b), d0, d1, a, b, i + 2, 0);
+    MD5_STEP((d0 & d1) | (~d0 & a), b, d0, d1, a, i + 3, 0);
+  }
+  for (int i = 16; i < 32; i += 4) {
+    MD5_STEP((d1 & b) | (~d1 & d0), a, b, d0, d1, i, 1);
+    MD5_STEP((d0 & a) | (~d0 & b), d1, a, b, d0, i + 1, 1);
+    MD5_STEP((b & d1) | (~b & a), d0, d1, a, b, i + 2, 1);
+    MD5_STEP((a & d0) | (~a & d1), b, d0, d1, a, i + 3, 1);
+  }
+  for (int i = 32; i < 48; i += 4) {
+    MD5_STEP(b ^ d0 ^ d1, a, b, d0, d1, i, 2);
+    MD5_STEP(a ^ b ^ d0, d1, a, b, d0, i + 1, 2);
+    MD5_STEP(d1 ^ a ^ b, d0, d1, a, b, i + 2, 2);
+    MD5_STEP(d0 ^ d1 ^ a, b, d0, d1, a, i + 3, 2);
+  }
+  for (int i = 48; i < 64; i += 4) {
+    MD5_STEP(d0 ^ (b | ~d1), a, b, d0, d1, i, 3);
+    MD5_STEP(b ^ (a | ~d0), d1, a, b, d0, i + 1, 3);
+    MD5_STEP(a ^ (d1 | ~b), d0, d1, a, b, i + 2, 3);
+    MD5_STEP(d1 ^ (d0 | ~a), b, d0, d1, a, i + 3, 3);
   }
   c->h[0] += a;
   c->h[1] += b;
@@ -158,23 +187,37 @@ void ft_md5_update(MD5Ctx* c, const uint8_t* data, int64_t len) {
   }
 }
 
-// Interleave [channels, n] int32 (C-contiguous, channel-major) into the
-// FLAC MD5 byte stream: sample-major, little-endian, bytes_per_sample
-// bytes each — and hash it in 64 KiB chunks without a full copy.
+// Interleave [channels, n] int32 (channel-major, rows contiguous, rows
+// ch_stride samples apart) into the FLAC MD5 byte stream: sample-major,
+// little-endian, bytes_per_sample bytes each — and hash it in 64 KiB
+// chunks without a full copy.  ch_stride lets the decoder hash spans of
+// the final [C, total] PCM array in place.
 void ft_md5_update_pcm(MD5Ctx* c, const int32_t* pcm, int64_t channels,
-                       int64_t n, int32_t bytes_per_sample) {
+                       int64_t n, int64_t ch_stride,
+                       int32_t bytes_per_sample) {
   uint8_t chunk[65536];
   const int64_t stride = (int64_t)bytes_per_sample * channels;
   const int64_t per_chunk = (int64_t)(sizeof(chunk)) / stride;
   for (int64_t s0 = 0; s0 < n; s0 += per_chunk) {
     int64_t cnt = n - s0 < per_chunk ? n - s0 : per_chunk;
     uint8_t* w = chunk;
-    for (int64_t s = s0; s < s0 + cnt; s++) {
-      for (int64_t ch = 0; ch < channels; ch++) {
-        uint32_t v = (uint32_t)pcm[ch * n + s];
-        for (int b = 0; b < bytes_per_sample; b++) {
-          *w++ = (uint8_t)(v & 0xff);
-          v >>= 8;
+    if (bytes_per_sample == 2 && channels == 2) {
+      // hot path (16-bit stereo): one 32-bit store per sample pair
+      const int32_t* L = pcm + s0;
+      const int32_t* R = pcm + ch_stride + s0;
+      for (int64_t s = 0; s < cnt; s++) {
+        uint32_t v = ((uint32_t)L[s] & 0xffff) | ((uint32_t)R[s] << 16);
+        memcpy(w, &v, 4);  // little-endian host
+        w += 4;
+      }
+    } else {
+      for (int64_t s = s0; s < s0 + cnt; s++) {
+        for (int64_t ch = 0; ch < channels; ch++) {
+          uint32_t v = (uint32_t)pcm[ch * ch_stride + s];
+          for (int b = 0; b < bytes_per_sample; b++) {
+            *w++ = (uint8_t)(v & 0xff);
+            v >>= 8;
+          }
         }
       }
     }
@@ -376,11 +419,8 @@ static inline uint64_t br_peek57(const BitRd* r) {
   int64_t last = (r->limit + 7) >> 3;
   uint64_t w = 0;
   if (b0 + 8 <= last) {
-    const uint8_t* p = r->data + b0;
-    w = ((uint64_t)p[0] << 56) | ((uint64_t)p[1] << 48) |
-        ((uint64_t)p[2] << 40) | ((uint64_t)p[3] << 32) |
-        ((uint64_t)p[4] << 24) | ((uint64_t)p[5] << 16) |
-        ((uint64_t)p[6] << 8) | (uint64_t)p[7];
+    memcpy(&w, r->data + b0, 8);  // one unaligned load + bswap beats
+    w = __builtin_bswap64(w);     // eight shift-or byte loads (hot path)
   } else {
     for (int i = 0; i < 8; i++) {
       uint8_t b = (b0 + i < last) ? r->data[b0 + i] : 0;
@@ -447,7 +487,8 @@ enum {
   FT_PARSE_ERR = 1,
   FT_CRC16_BAD = 2,
   FT_RES_OVERFLOW = 3,   // residual/sample needs > int32 (wide retry)
-  FT_EXTENT_MISMATCH = 4 // decoded extent != scan span (false sync?)
+  FT_EXTENT_MISMATCH = 4, // decoded extent != scan span (false sync?)
+  FT_OOR = 5             // decoded sample out of bps range (lost sync)
 };
 
 // Parse one subframe into normalized restore form.  Returns 0 on success.
@@ -553,7 +594,9 @@ static int parse_subframe(BitRd* r, int32_t sbps, int64_t N, int32_t* order,
   if (r->err) return 1;
   if (N % ((int64_t)1 << po)) return 1;
   int64_t m = N >> po;
-  if (po > 0 && m <= ord) return 1;
+  // the reference only rejects blocksize>>po < order (stream_decoder.c:3108);
+  // equality is legal (partition 0 then has zero residuals)
+  if (po > 0 && m < ord) return 1;
   if (po == 0 && N < ord) return 1;
   int64_t n = ord;
   for (int p = 0; p < (1 << po); p++) {
@@ -620,7 +663,11 @@ int64_t ft_parse_frames(const uint8_t* data, int64_t len,
     r.err = 0;
     int status = FT_OK;
     int overflow = 0;
-    for (int64_t c = 0; c < C && status == FT_OK; c++) {
+    // An int32 overflow aborts parse_subframe mid-subframe, leaving the
+    // cursor unusable for later channels — stop immediately and report
+    // FT_RES_OVERFLOW with priority over any downstream FT_PARSE_ERR so
+    // the caller's wide retry always happens for valid 27-32-bit streams.
+    for (int64_t c = 0; c < C && status == FT_OK && !overflow; c++) {
       int64_t s = f * C + c;
       if (parse_subframe(&r, ch_bps[s], N, order + s, shift + s, wasted + s,
                          sftype + s, qlp + 32 * s,
@@ -629,7 +676,7 @@ int64_t ft_parse_frames(const uint8_t* data, int64_t len,
         status = FT_PARSE_ERR;
     }
     end_bits[f] = r.pos;
-    if (status == FT_OK && overflow) status = FT_RES_OVERFLOW;
+    if (overflow) status = FT_RES_OVERFLOW;
     if (status == FT_OK) {
       // byte-align, then verify CRC-16 over the whole frame through the
       // trailer (frame_footer, stream_decoder.c:2443 read_frame_ CRC check)
@@ -699,6 +746,211 @@ void ft_restore_wide(const int64_t* res, const int32_t* order,
     if (w)
       for (int64_t n = 0; n < N; n++) x[n] <<= w;
   }
+}
+
+}  // extern "C" (C++ template helpers below need C++ linkage)
+
+// ---------------------------------------------------------------------------
+// Fused frame decode (all-CPU engine): parse + in-place restore + stereo
+// undo + range check in ONE cache-hot pass per frame.  This is the
+// counterpart of the reference's read_frame_ (stream_decoder.c:2373-2560)
+// which likewise fuses bit reading with prediction — but batched over a
+// frame table instead of pull-driven, so a thread pool can split the
+// frame axis across cores (frames are independent by format design).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline int32_t sat32(int64_t v) {
+  if (v > INT32_MAX) return INT32_MAX;
+  if (v < INT32_MIN) return INT32_MIN;
+  return (int32_t)v;
+}
+
+// Order-specialized in-place restore: x[] holds residuals on entry,
+// samples on exit (lpc.c:978 restore_signal, unrolled per order like the
+// reference's SIMD variants but via templates the compiler vectorizes).
+template <int ORD>
+void restore_ord(int32_t* x, int64_t N, int sh, const int32_t* qlp) {
+  for (int64_t n = ORD; n < N; n++) {
+    int64_t acc = 0;
+    for (int i = 0; i < ORD; i++) acc += (int64_t)qlp[i] * x[n - 1 - i];
+    x[n] = sat32((int64_t)x[n] + (acc >> sh));
+  }
+}
+
+void restore32_inplace(int32_t* x, int64_t N, int ord, int sh, int w,
+                       const int32_t* qlp) {
+  switch (ord) {
+    case 0: break;
+    case 1: restore_ord<1>(x, N, sh, qlp); break;
+    case 2: restore_ord<2>(x, N, sh, qlp); break;
+    case 3: restore_ord<3>(x, N, sh, qlp); break;
+    case 4: restore_ord<4>(x, N, sh, qlp); break;
+    case 5: restore_ord<5>(x, N, sh, qlp); break;
+    case 6: restore_ord<6>(x, N, sh, qlp); break;
+    case 7: restore_ord<7>(x, N, sh, qlp); break;
+    case 8: restore_ord<8>(x, N, sh, qlp); break;
+    case 9: restore_ord<9>(x, N, sh, qlp); break;
+    case 10: restore_ord<10>(x, N, sh, qlp); break;
+    case 11: restore_ord<11>(x, N, sh, qlp); break;
+    case 12: restore_ord<12>(x, N, sh, qlp); break;
+    default:
+      for (int64_t n = ord; n < N; n++) {
+        int64_t acc = 0;
+        for (int i = 0; i < ord; i++) acc += (int64_t)qlp[i] * x[n - 1 - i];
+        x[n] = sat32((int64_t)x[n] + (acc >> sh));
+      }
+  }
+  if (w)
+    for (int64_t n = 0; n < N; n++) x[n] = sat32((int64_t)x[n] << w);
+}
+
+void restore64_inplace(int64_t* x, int64_t N, int ord, int sh, int w,
+                       const int32_t* qlp) {
+  for (int64_t n = ord; n < N; n++) {
+    int64_t acc = 0;
+    for (int i = 0; i < ord; i++) acc += (int64_t)qlp[i] * x[n - 1 - i];
+    x[n] += acc >> sh;
+  }
+  if (w)
+    for (int64_t n = 0; n < N; n++) x[n] <<= w;
+}
+
+// In-place stereo decorrelation undo (stream_decoder.c:3476-3526).
+// a = channel 0, b = channel 1; asg 1 = left/side, 2 = right/side,
+// 3 = mid/side.
+void undo_stereo32(int32_t* a, int32_t* b, int64_t N, int asg) {
+  if (asg == 1) {
+    for (int64_t n = 0; n < N; n++) b[n] = sat32((int64_t)a[n] - b[n]);
+  } else if (asg == 2) {
+    for (int64_t n = 0; n < N; n++) a[n] = sat32((int64_t)a[n] + b[n]);
+  } else if (asg == 3) {
+    for (int64_t n = 0; n < N; n++) {
+      int64_t mid = ((int64_t)a[n] << 1) | (b[n] & 1);
+      int64_t side = b[n];
+      a[n] = sat32((mid + side) >> 1);
+      b[n] = sat32((mid - side) >> 1);
+    }
+  }
+}
+
+void undo_stereo64(int64_t* a, int64_t* b, int64_t N, int asg) {
+  if (asg == 1) {
+    for (int64_t n = 0; n < N; n++) b[n] = a[n] - b[n];
+  } else if (asg == 2) {
+    for (int64_t n = 0; n < N; n++) a[n] = a[n] + b[n];
+  } else if (asg == 3) {
+    for (int64_t n = 0; n < N; n++) {
+      int64_t mid = (a[n] << 1) | (b[n] & 1);
+      int64_t side = b[n];
+      a[n] = (mid + side) >> 1;
+      b[n] = (mid - side) >> 1;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode F same-shape frames to PCM in one native pass.  With out_off ==
+// null, out receives packed [F, C, N] int32 samples; otherwise channel c
+// of frame f is written at out + c*out_ch_stride + out_off[f] — letting
+// the caller decode straight into the final channel-major PCM array with
+// no assembly pass.  end_bits/status as in ft_parse_frames (plus FT_OOR
+// when a decoded sample falls outside check_bps's range — the
+// stream_decoder.c:2458-2472 lost-sync rejection; check_bps=0 disables).
+// Frames needing >int32 residuals (27-33 bit paths) retry internally via
+// an int64 scratch buffer.  Returns the number of frames with bad status.
+int64_t ft_decode_frames(const uint8_t* data, int64_t len,
+                         const int64_t* offsets, const int64_t* start_bits,
+                         const int64_t* sizes, const int32_t* ch_bps,
+                         int64_t F, int64_t C, int64_t N,
+                         const int32_t* assignment, int32_t check_bps,
+                         int32_t verify_crc, int32_t* out,
+                         const int64_t* out_off, int64_t out_ch_stride,
+                         int64_t* end_bits, int32_t* status) {
+  init_tables();
+  int64_t bad = 0;
+  int64_t* scratch = nullptr;  // lazily allocated wide path, reused
+  const int64_t xc = out_off ? out_ch_stride : N;  // stride between channels
+  for (int64_t f = 0; f < F; f++) {
+    int32_t* x = out_off ? out + out_off[f] : out + f * C * N;
+    BitRd r;
+    r.data = data;
+    r.pos = start_bits[f];
+    int64_t frame_end = offsets[f] + sizes[f];
+    if (frame_end > len) frame_end = len;
+    r.limit = frame_end * 8;
+    r.err = 0;
+    int st = FT_OK;
+    int overflow = 0;
+    int32_t ord, sh, w, sft;
+    int32_t qlp[32];
+    for (int64_t c = 0; c < C && st == FT_OK && !overflow; c++) {
+      if (parse_subframe(&r, ch_bps[f * C + c], N, &ord, &sh, &w, &sft, qlp,
+                         x + c * xc, nullptr, &overflow)) {
+        st = FT_PARSE_ERR;
+      } else if (!overflow) {
+        restore32_inplace(x + c * xc, N, ord, sh, w, qlp);
+      }
+    }
+    if (overflow) {
+      // wide retry: redo the whole frame through an int64 scratch
+      if (!scratch) scratch = new int64_t[C * N];
+      r.pos = start_bits[f];
+      r.err = 0;
+      st = FT_OK;
+      for (int64_t c = 0; c < C && st == FT_OK; c++) {
+        int ovf2 = 0;
+        if (parse_subframe(&r, ch_bps[f * C + c], N, &ord, &sh, &w, &sft,
+                           qlp, nullptr, scratch + c * N, &ovf2))
+          st = FT_PARSE_ERR;
+        else
+          restore64_inplace(scratch + c * N, N, ord, sh, w, qlp);
+      }
+      if (st == FT_OK && C == 2 && assignment[f])
+        undo_stereo64(scratch, scratch + N, N, assignment[f]);
+      if (st == FT_OK)
+        for (int64_t c = 0; c < C; c++)
+          for (int64_t n = 0; n < N; n++)
+            x[c * xc + n] = sat32(scratch[c * N + n]);
+    }
+    end_bits[f] = r.pos;
+    if (st == FT_OK) {
+      int64_t byte_end = (r.pos + 7) >> 3;
+      if (byte_end + 2 > frame_end) {
+        st = FT_PARSE_ERR;
+      } else {
+        if (verify_crc) {
+          uint16_t got = ft_crc16(data + offsets[f], byte_end - offsets[f], 0);
+          uint16_t stored =
+              (uint16_t)((data[byte_end] << 8) | data[byte_end + 1]);
+          if (got != stored) st = FT_CRC16_BAD;
+        }
+        if (st == FT_OK && byte_end + 2 != frame_end)
+          st = FT_EXTENT_MISMATCH;
+      }
+    }
+    if (st != FT_PARSE_ERR) {
+      if (!overflow && C == 2 && assignment[f])
+        undo_stereo32(x, x + xc, N, assignment[f]);
+      if (check_bps && st != FT_CRC16_BAD) {
+        int64_t lim = (int64_t)1 << (check_bps - 1);
+        for (int64_t c = 0; c < C && st != FT_OOR; c++)
+          for (int64_t n = 0; n < N; n++)
+            if (x[c * xc + n] < -lim || x[c * xc + n] >= lim) {
+              st = FT_OOR;
+              break;
+            }
+      }
+    }
+    status[f] = st;
+    if (st != FT_OK && st != FT_EXTENT_MISMATCH) bad++;
+  }
+  delete[] scratch;
+  return bad;
 }
 
 // ---------------------------------------------------------------------------

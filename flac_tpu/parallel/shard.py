@@ -132,6 +132,6 @@ def decode_frames_dp(data, st, frames, mesh: Mesh | None = None,
         put(np.pad(pg.wasted, pad_s), P("frames")),
         put(np.pad(asg, (0, Fp - F)), P("frames")),
         blocksize=blocksize, channels=channels, max_order=mo,
-        wide=pg.wide, out16=False)
+        wide=pg.wide, out16=False)[0]
     sig = np.asarray(out)[:F].astype(np.int32)       # [F, C, N]
     return sig.transpose(1, 0, 2).reshape(channels, F * blocksize)

@@ -73,14 +73,14 @@ def main():
     b0 = idxs[:MAX_BATCH]
 
     def one_batch():
-        out, pg, asg = _dispatch_batch(arr, frames, b0, bs, ch, 16)
+        (out, _), pg, asg = _dispatch_batch(arr, frames, b0, bs, ch, 16)
         np.asarray(out)
     t("device batch (parse+upload+restore+fetch)", one_batch)
 
     import jax.numpy as jnp
 
     def compute_only():
-        out, pg, asg = _dispatch_batch(arr, frames, b0, bs, ch, 16)
+        (out, _), pg, asg = _dispatch_batch(arr, frames, b0, bs, ch, 16)
         np.asarray(jnp.sum(out.astype(jnp.int32)))   # tiny dependent fetch
     t("device batch restore compute (scalar fetch)", compute_only)
 

@@ -28,7 +28,7 @@ def run(S, U, mo=12):
     def f():
         out = restore_and_undo(res, order, shift, qlp, wasted, asg,
                                blocksize=N, channels=2, max_order=mo,
-                               unroll=U, wide=False, out16=True)
+                               unroll=U, wide=False, out16=True)[0]
         return np.asarray(jnp.sum(out.astype(jnp.int32)))
     f()
     best = 1e9
