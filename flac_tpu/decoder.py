@@ -536,7 +536,8 @@ def _pick_engine(frames: list) -> str:
         return "fast"
     cores = os.cpu_count() or 1
     host_mbps = _HOST_DECODE_MBPS_PER_CORE * min(cores, 8)
-    return "fast" if bw / 2.0 > host_mbps else "host"
+    # device engine moves ~0.55x PCM up + 1x PCM down (~1.6x total)
+    return "device" if bw / 1.6 > host_mbps else "host"
 
 
 def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
@@ -559,15 +560,22 @@ def decode_frame_list(data: bytes, st: DecodedStream, frames: list,
 
     engine: "auto" picks by a measured wall-clock model (_pick_engine):
     the fused all-CPU engine when the host<->device link would be the
-    bottleneck (or the stream is small), else the two-phase device
-    engine; "fast" forces native bit-parse + device restore
-    (decoder_fast), "host" the all-CPU path, "scan" the all-device
-    per-sample scan (the correctness oracle).  Falls back to "scan"
-    when the native library is unavailable.
+    bottleneck (or the stream is small), else a device engine; "device"
+    forces the on-chip Rice decoder (host tile scan + compressed-bytes
+    upload + fused Rice+restore kernel, decoder_device), "fast" forces
+    native bit-parse + device restore (decoder_fast), "host" the
+    all-CPU path, "scan" the all-device per-sample scan (the
+    correctness oracle).  Falls back to "scan" when the native library
+    is unavailable.
     """
     from . import native as _native
     if engine == "auto" and _native.AVAILABLE and frames:
         engine = _pick_engine(frames)
+    if engine == "device" and _native.AVAILABLE and frames:
+        from .decoder_device import decode_frame_list_device
+        return decode_frame_list_device(
+            data, st, frames, verify_crc=verify_crc, max_batch=max_batch,
+            on_crc_error=on_crc_error, md5_hasher=md5_hasher)
     if engine == "fast" and _native.AVAILABLE and frames:
         from .decoder_fast import decode_frame_list_fast
         return decode_frame_list_fast(

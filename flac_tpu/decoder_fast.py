@@ -66,64 +66,14 @@ def restore_and_undo(res, order, shift, qlp, wasted, assignment, *,
              [B] bool out-of-range flags — the stream_decoder.c:2458-2472
              bps-range lost-sync check, evaluated BEFORE any narrowing so
              wrapped int16 values cannot evade it).  bps=0 disables the
-             check (flags all False).
+             check (flags all False).  Body shared with the device Rice
+             engine (ops/bitunpack.py restore_undo_body).
     """
-    S = res.shape[0]
-    N = blocksize
-    U = unroll
-    NB = (N + U - 1) // U
-    xdt = jnp.int64 if wide else jnp.int32
-    x0 = res.astype(xdt)
-    if NB * U != N:
-        x0 = jnp.pad(x0, ((0, 0), (0, NB * U - N)))
-    resb = x0.reshape(S, NB, U).transpose(1, 0, 2)      # [NB, S, U]
-    qlp64 = [qlp[:, i].astype(jnp.int64) for i in range(max_order)]
-    shift64 = shift.astype(jnp.int64)
-    base_idx = jnp.arange(NB, dtype=jnp.int32) * U
-
-    def block(hist, inp):
-        resu, base = inp
-        cols = list(hist)
-        outs = []
-        for j in range(U):
-            n = base + j
-            acc = jnp.zeros((S,), jnp.int64)
-            for i in range(max_order):
-                acc = acc + qlp64[i] * cols[i].astype(jnp.int64)
-            pred = (acc >> shift64).astype(xdt)
-            rj = resu[:, j]
-            xn = jnp.where(n < order, rj, rj + pred)
-            outs.append(xn)
-            if max_order:
-                cols = [xn] + cols[:-1]
-        return tuple(cols), jnp.stack(outs, axis=1)
-
-    hist0 = tuple(jnp.zeros((S,), xdt) for _ in range(max_order))
-    _, xs = jax.lax.scan(block, hist0, (resb, base_idx))
-    x = xs.transpose(1, 0, 2).reshape(S, NB * U)[:, :N]
-    x = x << wasted[:, None].astype(xdt)
-
-    sig = x.reshape(-1, channels, N)
-    if channels == 2:
-        a, b = sig[:, 0], sig[:, 1]
-        asg = assignment[:, None]
-        left = jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a,
-                 jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b + a,
-                  jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
-                            (((a << 1) | (b & 1)) + b) >> 1, a)))
-        right = jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_LEFT_SIDE, a - b,
-                  jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_RIGHT_SIDE, b,
-                   jnp.where(asg == fmt.CHANNEL_ASSIGNMENT_MID_SIDE,
-                             (((a << 1) | (b & 1)) - b) >> 1, b)))
-        sig = jnp.stack([left, right], axis=1)
-    if bps:
-        lim = jnp.asarray(1 << (bps - 1), sig.dtype)
-        oor = jnp.any((sig < -lim) | (sig >= lim), axis=(1, 2))
-    else:
-        oor = jnp.zeros((sig.shape[0],), bool)
-    if out16:
-        return sig.astype(jnp.int16), oor
-    return (sig if wide else sig.astype(jnp.int32)), oor
+    from .ops.bitunpack import restore_undo_body
+    return restore_undo_body(
+        res, order, shift, qlp, wasted, assignment, blocksize=blocksize,
+        channels=channels, max_order=max_order, unroll=unroll, wide=wide,
+        out16=out16, bps=bps)
 
 
 def _group_arrays(frames, idxs, channels):

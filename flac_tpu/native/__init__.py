@@ -78,6 +78,13 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, i64p, i32p]
+    lib.ft_tile_scan.restype = ctypes.c_int64
+    lib.ft_tile_scan.argtypes = [
+        u8p, ctypes.c_int64, i64p, i64p, i64p, i32p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, i32p, i32p, i64p, i32p, i64p, i32p, i32p, i32p,
+        i32p]
     lib.ft_decode_frames.restype = ctypes.c_int64
     lib.ft_decode_frames.argtypes = [
         u8p, ctypes.c_int64, i64p, i64p, i64p, i32p,
@@ -206,6 +213,70 @@ FT_CRC16_BAD = 2
 FT_RES_OVERFLOW = 3
 FT_EXTENT_MISMATCH = 4
 FT_OOR = 5
+FT_SEG_OVERFLOW = 6
+
+
+SEG_INERT = (255 << 7) | 1      # raw width-0 x255 idle segment
+
+
+class TileGroup:
+    """ft_tile_scan output: per-subframe restore metadata + per-lane
+    segment tables for the device Rice decoder (ops/bitunpack.py)."""
+
+    __slots__ = ("order", "shift", "wasted", "sftype", "qlp", "lane_start",
+                 "segs", "end_bits", "status", "wide", "max_tile_bits",
+                 "max_segs", "tiles")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def tile_scan(data, offsets, start_bits, sizes, ch_bps, blocksize: int,
+              T: int = 128, segmax: int = 8) -> TileGroup:
+    """Skip-walk F same-shape frames emitting device-decode tile tables
+    (boundaries + {skip,count,param,kind} segments — no residuals touch
+    the host).  ~3x cheaper than parse_frames per byte."""
+    arr = data if isinstance(data, np.ndarray) else \
+        np.frombuffer(data, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    start_bits = np.ascontiguousarray(start_bits, np.int64)
+    sizes = np.ascontiguousarray(sizes, np.int64)
+    ch_bps = np.ascontiguousarray(ch_bps, np.int32)
+    F, C = ch_bps.shape
+    S = F * C
+    N = blocksize
+    tiles = (N + T - 1) // T
+    order = np.zeros(S, np.int32)
+    shift = np.zeros(S, np.int32)
+    wasted = np.zeros(S, np.int32)
+    sftype = np.zeros(S, np.int32)
+    qlp = np.zeros((S, 32), np.int32)
+    lane_start = np.zeros(S * tiles, np.int64)
+    segs = np.full((S * tiles, segmax), SEG_INERT, np.int32)
+    end_bits = np.zeros(F, np.int64)
+    status = np.zeros(F, np.int32)
+    wide = np.zeros(F, np.int32)
+    max_tile_bits = np.zeros(1, np.int32)
+    max_segs = np.zeros(1, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    _lib.ft_tile_scan(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(arr),
+        offsets.ctypes.data_as(i64p), start_bits.ctypes.data_as(i64p),
+        sizes.ctypes.data_as(i64p), ch_bps.ctypes.data_as(i32p),
+        F, C, N, T, segmax,
+        order.ctypes.data_as(i32p), shift.ctypes.data_as(i32p),
+        wasted.ctypes.data_as(i32p), sftype.ctypes.data_as(i32p),
+        qlp.ctypes.data_as(i32p), lane_start.ctypes.data_as(i64p),
+        segs.ctypes.data_as(i32p), end_bits.ctypes.data_as(i64p),
+        status.ctypes.data_as(i32p), wide.ctypes.data_as(i32p),
+        max_tile_bits.ctypes.data_as(i32p), max_segs.ctypes.data_as(i32p))
+    return TileGroup(order=order, shift=shift, wasted=wasted, sftype=sftype,
+                     qlp=qlp, lane_start=lane_start, segs=segs,
+                     end_bits=end_bits, status=status, wide=wide,
+                     max_tile_bits=int(max_tile_bits[0]),
+                     max_segs=int(max_segs[0]), tiles=tiles)
 
 
 def decode_frames_full(data, offsets, start_bits, sizes, ch_bps,

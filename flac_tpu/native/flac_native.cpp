@@ -488,7 +488,8 @@ enum {
   FT_CRC16_BAD = 2,
   FT_RES_OVERFLOW = 3,   // residual/sample needs > int32 (wide retry)
   FT_EXTENT_MISMATCH = 4, // decoded extent != scan span (false sync?)
-  FT_OOR = 5             // decoded sample out of bps range (lost sync)
+  FT_OOR = 5,            // decoded sample out of bps range (lost sync)
+  FT_SEG_OVERFLOW = 6    // tile needs more segments than SEGMAX (fallback)
 };
 
 // Parse one subframe into normalized restore form.  Returns 0 on success.
@@ -635,6 +636,276 @@ static int parse_subframe(BitRd* r, int32_t sbps, int64_t N, int32_t* order,
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Tile scan (device-decode phase 1): boundaries + segment tables only
+// ---------------------------------------------------------------------------
+//
+// The device Rice decoder (ops/bitunpack.py) decodes residual bits ON
+// CHIP; the host's job shrinks from extracting every residual
+// (ft_parse_frames) to a skip-walk that finds where codes live.  Each
+// subframe's N samples split into fixed tiles of T samples; each tile
+// becomes one device lane with a start bit and a short segment table:
+//
+//   segment = {skip:16 | count:8 | param:6 | kind:1}  (one int32)
+//
+// kind 0 = Rice codes with parameter `param` (bitreader.c:834's format:
+// unary q, stop bit, param LSBs); kind 1 = raw signed codes of width
+// `param` (escape partitions, verbatim samples, warmup, constant —
+// width 0 means synthesized zeros).  `skip` bits are consumed before the
+// segment's first code (subframe headers, LPC coefficient blocks, Rice
+// k-parameters — everything the device does not need to understand).
+// The walk is ~3x cheaper than the full parse: it never materializes
+// residuals, only advances the cursor with clz hops.
+
+static inline void tile_close_lane(int64_t emit_pos, int64_t lane_open_pos,
+                                   int32_t* max_tile_bits) {
+  int32_t bits = (int32_t)(emit_pos - lane_open_pos);
+  if (bits > *max_tile_bits) *max_tile_bits = bits;
+}
+
+typedef struct {
+  BitRd* r;
+  int64_t emit_pos;     // all bits before this are attached to segments
+  int64_t n;            // sample cursor within the subframe
+  int64_t T;
+  int64_t tiles;
+  int64_t segmax;
+  int32_t* segs;        // [tiles, SEGMAX] for this subframe
+  int64_t* lane_start;  // [tiles]
+  int64_t cur_lane;
+  int64_t lane_open_pos;
+  int32_t nseg;
+  int32_t* max_tile_bits;
+  int32_t* max_segs;
+  int overflow;         // segment-table overflow
+  int wide;             // any value needs > int32
+} TileEm;
+
+// Emit one run of `cnt` codes of (kind, param) starting at the walker's
+// current position; the walker advances through them here.  Splits on
+// tile boundaries.  Returns 0 on success.
+static int tile_run(TileEm* e, int kind, int param, int64_t cnt) {
+  BitRd* r = e->r;
+  while (cnt > 0) {
+    int64_t lane = e->n / e->T;
+    if (lane != e->cur_lane) {
+      if (e->cur_lane >= 0)
+        tile_close_lane(e->emit_pos, e->lane_open_pos, e->max_tile_bits);
+      e->cur_lane = lane;
+      e->lane_open_pos = e->emit_pos;
+      e->lane_start[lane] = e->emit_pos;
+      e->nseg = 0;
+    }
+    int64_t take = (lane + 1) * e->T - e->n;
+    if (take > cnt) take = cnt;
+    // strict '<' keeps one slot free for the inert padding segment the
+    // device needs to idle through partial tiles
+    if (e->nseg >= e->segmax - 1) {
+      e->overflow = 1;
+      return 1;
+    }
+    int64_t skip = r->pos - e->emit_pos;
+    if (skip > 0xFFFF) return 1;  // cannot happen for legal streams
+    // walk the codes
+    if (kind == 1) {
+      r->pos += (int64_t)param * take;
+      if (r->pos > r->limit) {
+        r->err = 1;
+        return 1;
+      }
+      if (param > 32) e->wide = 1;
+    } else {
+      for (int64_t i = 0; i < take; i++) {
+        int64_t q = br_read_unary(r);
+        if (r->err) return 1;
+        if (q > (int64_t)1 << 30) return 1;  // insane run: corrupt
+        // folded value u = q<<k | lsb needs int64 iff u >= 2^32
+        // (conservatively assume max lsb)
+        uint64_t umax =
+            ((uint64_t)q << param) | (((uint64_t)1 << param) - 1);
+        if (umax >> 32) e->wide = 1;
+        r->pos += param;
+        if (r->pos > r->limit) {
+          r->err = 1;
+          return 1;
+        }
+      }
+    }
+    e->segs[e->cur_lane * e->segmax + e->nseg++] =
+        (int32_t)((skip << 15) | (take << 7) | (param << 1) | kind);
+    if (e->nseg > *e->max_segs) *e->max_segs = e->nseg;
+    e->emit_pos = r->pos;
+    e->n += take;
+    cnt -= take;
+  }
+  return 0;
+}
+
+// Skip-walk one subframe, emitting tiles.  Mirrors parse_subframe's bit
+// layout handling but extracts only (order, shift, wasted, qlp) — the
+// residual bits become segment tables.
+static int tile_subframe(TileEm* e, int32_t sbps, int64_t N, int32_t* order,
+                         int32_t* shift, int32_t* wasted, int32_t* sftype,
+                         int32_t* qlp /*32*/) {
+  BitRd* r = e->r;
+  uint64_t hdr = br_read(r, 8);
+  if (r->err) return 1;
+  if (hdr & 0x80) return 1;
+  int type6 = (int)((hdr >> 1) & 0x3F);
+  int w = 0;
+  if (hdr & 1) w = (int)br_read_unary(r) + 1;
+  if (r->err) return 1;
+  int32_t ebps = sbps - w;
+  if (ebps <= 0) return 1;
+  *wasted = w;
+  *shift = 0;
+  for (int i = 0; i < 32; i++) qlp[i] = 0;
+  if (ebps > 32) e->wide = 1;
+
+  int ord;
+  int is_lpc = 0;
+  if (type6 == 0) {  // constant: value then synthesized zeros
+    *sftype = 0;
+    *order = 1;
+    qlp[0] = 1;
+    if (tile_run(e, 1, ebps, 1)) return 1;
+    return tile_run(e, 1, 0, N - 1);
+  } else if (type6 == 1) {  // verbatim
+    *sftype = 1;
+    *order = 0;
+    return tile_run(e, 1, ebps, N);
+  } else if ((type6 & 0x38) == 0x08 && (type6 & 0x07) <= 4) {
+    ord = type6 & 0x07;
+    *sftype = 2;
+    for (int i = 0; i < ord; i++) qlp[i] = FIXED_TAPS[ord][i];
+  } else if (type6 & 0x20) {
+    ord = (type6 & 0x1F) + 1;
+    *sftype = 3;
+    is_lpc = 1;
+  } else {
+    return 1;
+  }
+  if (ord > (int)N) return 1;
+  *order = ord;
+
+  // warmup samples -> raw codes for res[0..ord)
+  if (ord && tile_run(e, 1, ebps, ord)) return 1;
+  if (is_lpc) {
+    int prec = (int)br_read(r, 4);
+    if (r->err || prec == 15) return 1;
+    prec += 1;
+    int sh = (int)br_read_signed(r, 5);
+    if (r->err || sh < 0) return 1;
+    *shift = sh;
+    for (int i = 0; i < ord; i++) {
+      qlp[i] = (int32_t)br_read_signed(r, prec);
+      if (r->err) return 1;
+    }
+  }
+
+  int method = (int)br_read(r, 2);
+  if (r->err || method > 1) return 1;
+  int plen = method ? 5 : 4;
+  uint32_t esc = (1u << plen) - 1;
+  int po = (int)br_read(r, 4);
+  if (r->err) return 1;
+  if (N % ((int64_t)1 << po)) return 1;
+  int64_t m = N >> po;
+  if (po > 0 && m < ord) return 1;
+  if (po == 0 && N < ord) return 1;
+  for (int p = 0; p < (1 << po); p++) {
+    int64_t cnt = (p == 0) ? m - ord : m;
+    uint32_t k = (uint32_t)br_read(r, plen);
+    if (r->err) return 1;
+    if (k == esc) {
+      int rawbits = (int)br_read(r, 5);
+      if (r->err) return 1;
+      if (cnt && tile_run(e, 1, rawbits, cnt)) return 1;
+    } else {
+      if (cnt && tile_run(e, 0, (int)k, cnt)) return 1;
+    }
+  }
+  return 0;
+}
+
+// Tile-scan a group of same-shape frames.  Layouts:
+//   per-subframe s = f*C + c: order/shift/wasted/sftype/qlp as in
+//     ft_parse_frames;
+//   per-lane l = s*tiles + t (tiles = ceil(N/T)): lane_start[l] absolute
+//     bit offset, segs[l*segmax .. ] packed segments (caller prefills the
+//     whole segs array with the inert padding pattern);
+//   per-frame: end_bits, status (FT_*), wide flag.
+// max_tile_bits receives the largest (bits consumed by one lane) across
+// the group — the device sizes its gather window from it.  Returns the
+// number of frames with bad status.
+int64_t ft_tile_scan(const uint8_t* data, int64_t len, const int64_t* offsets,
+                     const int64_t* start_bits, const int64_t* sizes,
+                     const int32_t* ch_bps, int64_t F, int64_t C, int64_t N,
+                     int64_t T, int64_t segmax, int32_t* order,
+                     int32_t* shift, int32_t* wasted, int32_t* sftype,
+                     int32_t* qlp, int64_t* lane_start, int32_t* segs,
+                     int64_t* end_bits, int32_t* status, int32_t* wide,
+                     int32_t* max_tile_bits, int32_t* max_segs) {
+  init_tables();
+  int64_t bad = 0;
+  int64_t tiles = (N + T - 1) / T;
+  for (int64_t f = 0; f < F; f++) {
+    BitRd r;
+    r.data = data;
+    r.pos = start_bits[f];
+    int64_t frame_end = offsets[f] + sizes[f];
+    if (frame_end > len) frame_end = len;
+    r.limit = frame_end * 8;
+    r.err = 0;
+    int st = FT_OK;
+    int fr_wide = 0;
+    for (int64_t c = 0; c < C && st == FT_OK; c++) {
+      int64_t s = f * C + c;
+      TileEm e;
+      e.r = &r;
+      e.emit_pos = r.pos;
+      e.n = 0;
+      e.T = T;
+      e.tiles = tiles;
+      e.segmax = segmax;
+      e.segs = segs + s * tiles * segmax;
+      e.lane_start = lane_start + s * tiles;
+      e.cur_lane = -1;
+      e.lane_open_pos = r.pos;
+      e.nseg = 0;
+      e.max_tile_bits = max_tile_bits;
+      e.max_segs = max_segs;
+      e.overflow = 0;
+      e.wide = 0;
+      if (tile_subframe(&e, ch_bps[s], N, order + s, shift + s, wasted + s,
+                        sftype + s, qlp + 32 * s))
+        st = e.overflow ? FT_SEG_OVERFLOW : FT_PARSE_ERR;
+      else if (e.cur_lane >= 0)
+        tile_close_lane(e.emit_pos, e.lane_open_pos, max_tile_bits);
+      fr_wide |= e.wide;
+    }
+    end_bits[f] = r.pos;
+    wide[f] = fr_wide;
+    if (st == FT_OK) {
+      int64_t byte_end = (r.pos + 7) >> 3;
+      if (byte_end + 2 > frame_end) {
+        st = FT_PARSE_ERR;
+      } else {
+        uint16_t got = ft_crc16(data + offsets[f], byte_end - offsets[f], 0);
+        uint16_t stored = (uint16_t)((data[byte_end] << 8) |
+                                     data[byte_end + 1]);
+        if (got != stored)
+          st = FT_CRC16_BAD;
+        else if (byte_end + 2 != frame_end)
+          st = FT_EXTENT_MISMATCH;
+      }
+    }
+    status[f] = st;
+    if (st != FT_OK) bad++;
+  }
+  return bad;
 }
 
 // Parse a group of same-shape frames (decode phase 1).  Per frame f the
