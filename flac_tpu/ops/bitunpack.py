@@ -34,6 +34,7 @@ kind=1 decodes fixed-width signed values, width 0 synthesizes zeros.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +157,172 @@ def _clz64(hi, lo):
                      32 + jax.lax.clz(lo).astype(jnp.int32))
 
 
+# ---------------------------------------------------------------------------
+# Pallas backend for the code scan: windows live in VMEM
+# ---------------------------------------------------------------------------
+#
+# The XLA scan re-reads every lane's [W]-word window from HBM at each of
+# the ~3 extractions per code (measured: one extraction ~20 ms/128 codes
+# at 65k lanes — pure HBM traffic; the arithmetic is ~2 ms).  The Pallas
+# kernel loads each lane block's windows into VMEM ONCE and runs the
+# whole T-code loop against them — the decode twin of the MXU pack
+# kernel's "one-hot stays in VMEM" move (ops/pack_pallas.py).
+
+_BL = 256           # lanes per grid cell ([BL, W] u32 window <= 128 KiB)
+
+
+@functools.cache
+def rice_pallas_available() -> bool:
+    """Probe: Pallas + the ops this kernel needs (clz, u32 shifts) lower
+    on this backend.  FLAC_TPU_RICE=xla forces the XLA scan."""
+    if os.environ.get("FLAC_TPU_RICE", "auto") == "xla":
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False
+        import numpy as np
+        from jax.experimental import pallas as pl
+
+        def probe(x_ref, o_ref):
+            v = x_ref[:].astype(jnp.uint32)
+            o_ref[:] = (jax.lax.clz(v) + (v >> (v & jnp.uint32(7)))) \
+                .astype(jnp.int32)
+
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                probe,
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            )(jnp.full((8, 128), 16, jnp.int32))
+        return int(np.asarray(out)[0, 0]) == 27 + 16
+    except Exception:
+        return False
+
+
+def _rice_kernel(win_ref, ls_ref, *refs, T: int, W: int, SEG: int,
+                 BL: int):
+    # Mosaic layout rules shape this kernel (every one found by compile
+    # error on real hardware):
+    #   - lanes-last everywhere ([*, BL] with BL on the vector lane
+    #     axis); the 1-D lanes-first form hits relayout errors;
+    #   - sublane broadcast of a [1, BL] row goes through pltpu.repeat;
+    #   - the per-lane segment table CANNOT be indexed (any [1, BL] row
+    #     extracted from a taller ref inside the loop trips an
+    #     unsupported {0,0}->{*,*} relayout) — so the segments ride the
+    #     loop CARRY as a register queue popped on advance, and each row
+    #     arrives as its own (1, L)-shaped input.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    seg_refs = refs[:SEG]
+    res_ref, ovf_ref = refs[SEG], refs[SEG + 1]
+    win = win_ref[:]                                    # [W, BL] int32
+    wi = jax.lax.broadcasted_iota(jnp.int32, (W, BL), 0)
+    max_bits = jnp.int32(W * 32)
+    zero_u = jnp.zeros((1, BL), jnp.uint32)
+    one = jnp.uint32(1)
+
+    def extract(cur):
+        # one-hot sums stay int32 (Mosaic lacks unsigned reductions),
+        # reinterpreted to u32 after — same bits
+        w = pltpu.repeat(cur >> 5, W, axis=0)           # [W, BL]
+        w0 = jnp.sum(jnp.where(wi == w, win, 0), axis=0, keepdims=True,
+                     dtype=jnp.int32).astype(jnp.uint32)
+        w1 = jnp.sum(jnp.where(wi == w + 1, win, 0), axis=0,
+                     keepdims=True, dtype=jnp.int32).astype(jnp.uint32)
+        w2 = jnp.sum(jnp.where(wi == w + 2, win, 0), axis=0,
+                     keepdims=True, dtype=jnp.int32).astype(jnp.uint32)
+        off = (cur & 31).astype(jnp.uint32)
+        sh2 = (jnp.uint32(32) - off) & jnp.uint32(31)
+        pos = off > 0
+        hi = jnp.where(pos, (w0 << off) | (w1 >> sh2), w0)
+        lo = jnp.where(pos, (w1 << off) | (w2 >> sh2), w1)
+        return hi, lo
+
+    def code(t, state):
+        cur, rem, param, kind, ovf, sq = state
+        adv = rem == 0
+        head = sq[0]
+        cur = jnp.where(adv, cur + ((head >> 15) & 0xFFFF), cur)
+        rem = jnp.where(adv, (head >> 7) & 0xFF, rem)
+        param = jnp.where(adv, (head >> 1) & 0x3F, param)
+        kind = jnp.where(adv, head & 1, kind)
+        sq = tuple(
+            jnp.where(adv,
+                      sq[k + 1] if k + 1 < SEG else jnp.int32(SEG_INERT),
+                      sq[k])
+            for k in range(SEG))
+
+        hi, lo = extract(cur)
+        is_raw = kind == 1
+        pu = param.astype(jnp.uint32)
+        sh32 = jnp.where(param > 0, 32 - jnp.minimum(param, 32), 0) \
+            .astype(jnp.uint32)
+        pm1 = jnp.where(param > 0, param - 1, 0).astype(jnp.uint32)
+
+        rv = jnp.where(param > 0, hi >> sh32, zero_u)
+        sgn = jnp.where(param > 0, (rv >> pm1) & one, zero_u)
+        sgn_term = jnp.where(param > 0, sgn << pm1, zero_u) \
+            .astype(jnp.int32)
+        raw_val = rv.astype(jnp.int32) - sgn_term - sgn_term
+
+        nz0 = _clz64(hi, lo)
+        hi2, lo2 = extract(cur + 64)
+        nz1 = _clz64(hi2, lo2)
+        more = ~is_raw & (nz0 >= 64)
+        q = jnp.where(more, 64 + jnp.minimum(nz1, 64), nz0)
+        cq = cur + q
+        ovf = ovf | jnp.where(
+            ~is_raw & ((more & (nz1 >= 64)) | (cq > max_bits)),
+            jnp.int32(1), jnp.int32(0))
+
+        thi, _ = extract(cq + 1)
+        lsb = jnp.where(param > 0, thi >> sh32, zero_u)
+        u = (q.astype(jnp.uint32) << pu) | lsb
+        rice_val = (u >> 1).astype(jnp.int32) ^ -(u & one).astype(jnp.int32)
+
+        val = jnp.where(is_raw, raw_val, rice_val)
+        cur = jnp.where(is_raw, cur + param, cq + 1 + param)
+        rem = rem - 1
+        res_ref[pl.ds(t, 1), :] = val
+        return cur, rem, param, kind, ovf, sq
+
+    ls = ls_ref[:]
+    z = ls ^ ls                 # zeros with a non-replicated layout
+    q0 = tuple(seg_refs[k][:] for k in range(SEG))
+    state = jax.lax.fori_loop(0, T, code, (ls, z, z, z, z, q0))
+    ovf_ref[:] = state[4]
+
+
+def _codes_pallas(win, local0, segs, *, T: int, SEG: int):
+    """Run the code scan as a Pallas kernel.  win: [L, W] uint32 (W
+    padded to a 128 multiple); local0: [L] int32; segs: [L, SEG].
+    Returns (res [T, L] int32, ovf [L] int32)."""
+    from jax.experimental import pallas as pl
+    L, W = win.shape
+    Lp = -(-L // _BL) * _BL
+    if Lp != L:
+        win = jnp.pad(win, ((0, Lp - L), (0, 0)))
+        local0 = jnp.pad(local0, (0, Lp - L))
+        segs = jnp.pad(segs, ((0, Lp - L), (0, 0)),
+                       constant_values=SEG_INERT)
+    seg_rows = [segs[:, k][None, :] for k in range(SEG)]
+    with jax.enable_x64(False):
+        res, ovf = pl.pallas_call(
+            functools.partial(_rice_kernel, T=T, W=W, SEG=SEG, BL=_BL),
+            out_shape=(jax.ShapeDtypeStruct((T, Lp), jnp.int32),
+                       jax.ShapeDtypeStruct((1, Lp), jnp.int32)),
+            grid=(Lp // _BL,),
+            in_specs=[
+                pl.BlockSpec((W, _BL), lambda i: (0, i)),
+                pl.BlockSpec((1, _BL), lambda i: (0, i)),
+            ] + [pl.BlockSpec((1, _BL), lambda i: (0, i))
+                 for _ in range(SEG)],
+            out_specs=(pl.BlockSpec((T, _BL), lambda i: (0, i)),
+                       pl.BlockSpec((1, _BL), lambda i: (0, i))),
+        )(jax.lax.bitcast_convert_type(win, jnp.int32).T,
+          local0[None, :].astype(jnp.int32), *seg_rows)
+    return res[:, :L], ovf[0, :L]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("T", "NROW", "SEG", "blocksize", "channels",
@@ -188,6 +355,21 @@ def rice_decode_restore(words2d, lane_start, segs, order, shift, qlp,
     ridx = base_row[:, None] + jnp.arange(NROW, dtype=jnp.int32)[None, :]
     win = words2d[ridx].reshape(L, NROW * 16)
     local0 = lane_start - (base_row << 9)            # [L] bits into window
+
+    if not wide and rice_pallas_available():
+        # VMEM-resident code scan (see _rice_kernel)
+        Wp = -(-win.shape[1] // 128) * 128
+        if Wp != win.shape[1]:
+            win = jnp.pad(win, ((0, 0), (0, Wp - win.shape[1])))
+        xs_tl, ovf_i = _codes_pallas(win, local0.astype(jnp.int32), segs,
+                                     T=T, SEG=SEG)
+        res = xs_tl.transpose(1, 0).reshape(S, tiles * T)[:, :N]
+        pcm, oor = restore_undo_body(
+            res, order, shift, qlp, wasted, assignment, blocksize=N,
+            channels=channels, max_order=max_order, unroll=unroll,
+            wide=wide, out16=out16, bps=bps)
+        return pcm, oor, ovf_i.astype(bool)
+
     extract = _extractor(win)
     max_bits = jnp.int32(NROW * 512)
 
