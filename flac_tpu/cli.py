@@ -6,6 +6,7 @@ analyze, presets -0..-8, blocksize/apodization/order overrides.
 from __future__ import annotations
 
 import argparse
+import io
 import sys
 import time
 
@@ -48,6 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-T", "--tag", action="append", default=[],
                    metavar="FIELD=VALUE",
                    help="add a VORBIS_COMMENT tag while encoding")
+    p.add_argument("--tag-from-file", action="append", default=[],
+                   metavar="FIELD=FILENAME",
+                   help="add a tag whose value is FILENAME's contents "
+                        "(main.c:135)")
+    p.add_argument("--no-utf8-convert", action="store_true",
+                   help="do not charset-convert tag values; store the "
+                        "raw bytes (main.c:204)")
+    p.add_argument("--input-size", type=int, metavar="BYTES",
+                   help="size of raw input when encoding from stdin "
+                        "(main.c:182; only with --force-raw-format and "
+                        "'-')")
     p.add_argument("--skip",
                    help="skip samples at start: '#' or 'mm:ss.ss'")
     p.add_argument("--until",
@@ -244,6 +256,11 @@ def make_seektable(args, sample_rate: int, total_samples: int):
 def _read_input(path: str, args):
     from . import container
     data = sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
+    if getattr(args, "input_size", None):
+        if not (path == "-" and args.force_raw_format):
+            raise SystemExit(
+                "--input-size only applies to raw input from stdin")
+        data = data[:args.input_size]
     if args.force_raw_format:
         if not (args.channels and args.bps and args.sample_rate):
             raise SystemExit("raw input needs --channels --bps --sample-rate")
@@ -304,7 +321,11 @@ def do_encode(args, path: str) -> int:
         path.rsplit(".", 1)[0] + (".oga" if args.ogg else ".flac")
         if path != "-" else "-")
     t0 = time.time()
-    real_out = sys.stdout.buffer if out_name == "-" else open(out_name, "wb")
+    # '-' output: stdout pipes are not seekable, so buffer the stream in
+    # memory and flush once — keeping the STREAMINFO/seekpoint backpatch
+    # (update_metadata_, stream_encoder.c:3139) intact for piped output
+    to_stdout = out_name == "-"
+    real_out = io.BytesIO() if to_stdout else open(out_name, "wb")
     if args.ogg:
         # streaming Ogg encode: pages go out as frame batches land
         # (ogg_encoder_aspect.c:113-230); peak RSS is independent of
@@ -336,13 +357,31 @@ def do_encode(args, path: str) -> int:
         except (OSError, ValueError) as e:
             raise SystemExit(f"--picture: {e}")
         extra.append((pic.TYPE, pic.to_bytes()))
-    if args.tag or args.replay_gain:
+    if args.tag or args.tag_from_file or args.replay_gain:
         from . import metadata as md
         vc = md.VorbisCommentBlock()
         for t in args.tag:
             if "=" not in t:
                 raise SystemExit(f"bad tag (need FIELD=VALUE): {t}")
+            if getattr(args, "no_utf8_convert", False):
+                # store the argv bytes verbatim (main.c:204 semantics):
+                # argv round-trips through surrogateescape, undo it
+                t = t.encode("utf-8", "surrogateescape") \
+                    .decode("latin-1") if any(ord(c) > 0xFFFF or
+                                              0xDC80 <= ord(c) <= 0xDCFF
+                                              for c in t) else t
             vc.comments.append(t)
+        for t in args.tag_from_file:
+            if "=" not in t:
+                raise SystemExit(
+                    f"bad tag (need FIELD=FILENAME): {t}")
+            field, fname = t.split("=", 1)
+            try:
+                val = open(fname, "rb").read().decode(
+                    "utf-8", "replace").rstrip("\r\n")
+            except OSError as e:
+                raise SystemExit(f"can't read tag file {fname}: {e}")
+            vc.comments.append(f"{field}={val}")
         if args.replay_gain:
             from . import replaygain as rg
             if not rg.valid_sample_rate(info.sample_rate):
@@ -356,9 +395,9 @@ def do_encode(args, path: str) -> int:
                 vc.comments.append(f"{k}={v}")
         extra.append((vc.TYPE, vc.to_bytes()))
     seektable = make_seektable(args, info.sample_rate, samples.shape[1]) \
-        if real_out is not sys.stdout.buffer else None
+        if not to_stdout else None
     progress = None
-    if not args.silent and real_out is not sys.stdout.buffer:
+    if not args.silent and not to_stdout:
         nb = (info.bits_per_sample + 7) // 8
         total = max(samples.shape[1], 1)
 
@@ -381,7 +420,10 @@ def do_encode(args, path: str) -> int:
         print(file=sys.stderr)
     if args.ogg:
         out.finalize()
-    if real_out is not sys.stdout.buffer:
+    if to_stdout:
+        sys.stdout.buffer.write(real_out.getvalue())
+        sys.stdout.buffer.flush()
+    else:
         size = real_out.tell()
         real_out.close()
         dt = time.time() - t0

@@ -85,10 +85,16 @@ def read_wav(data: bytes, ignore_chunk_sizes: bool = False) -> AudioInfo:
         csize = struct.unpack("<I", data[pos + 4:pos + 8])[0]
         body = data[pos + 8:pos + 8 + csize]
         if cid == b"ds64":
+            if len(body) < 16:
+                raise ContainerError("truncated ds64 chunk")
             ds64_data_size = struct.unpack("<Q", body[8:16])[0]
         elif cid == b"fmt ":
+            if len(body) < 16:
+                raise ContainerError("truncated fmt chunk")
             fmt_info = struct.unpack("<HHIIHH", body[:16])
             if fmt_info[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if len(body) < 26:
+                    raise ContainerError("truncated extensible fmt chunk")
                 valid_bits = struct.unpack("<H", body[18:20])[0]
                 sub = struct.unpack("<H", body[24:26])[0]
                 fmt_info = (sub, *fmt_info[1:5], valid_bits or fmt_info[5])

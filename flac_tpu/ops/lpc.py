@@ -70,11 +70,13 @@ def autocorrelation(windowed, max_lag: int, acc_dtype=jnp.float64,
 
     The reference accumulates float32 products in float64 (lpc.c:110-174).
     Emulated f64 multiplies over the full [..., N] tensor are the single
-    most expensive op on TPU, so instead: f32 products are summed per
-    `block` samples in f32 (relative error <= block*eps ~ 1.5e-5, far
-    inside the tolerance that survives coefficient quantization), and only
-    the N/block partials are combined in f64.  acc_dtype=float64 with
-    block=1 reproduces the reference's full-f64 accumulation for tests.
+    most expensive op on TPU, so the hot path routes the lag products
+    through the MXU (autocorrelation_mxu below); per-lag elementwise
+    passes remain for shapes the framing can't cover.  acc_dtype=float64
+    with block=1 reproduces the reference's full-f64 accumulation for
+    tests (the MXU path's error is bounded by the same per-~128-sample
+    f32 partial argument: relative error ~1e-5, far inside what survives
+    coefficient quantization).
     """
     if block == 1:
         d = windowed.astype(acc_dtype)
@@ -84,6 +86,8 @@ def autocorrelation(windowed, max_lag: int, acc_dtype=jnp.float64,
             outs.append(jnp.sum(prod, axis=-1))
         return jnp.stack(outs, axis=-1)
     N = windowed.shape[-1]
+    if N % 128 == 0 and N >= 256:
+        return autocorrelation_mxu(windowed, max_lag, acc_dtype)
     pad = (-N) % block
     d = windowed
     if pad:
@@ -99,6 +103,42 @@ def autocorrelation(windowed, max_lag: int, acc_dtype=jnp.float64,
             prod = d * shifted
         partial = prod.reshape(prod.shape[:-1] + (Np // block, block)).sum(-1)
         outs.append(jnp.sum(partial.astype(acc_dtype), axis=-1))
+    return jnp.stack(outs, axis=-1)
+
+
+def autocorrelation_mxu(windowed, max_lag: int, acc_dtype=jnp.float64):
+    """Autocorrelation as a blocked Gram matrix on the MXU.
+
+    Frame the signal into Nb = N/F non-overlapping blocks extended by
+    max_lag samples from the next block, then ONE batched matmul
+    contracts the block axis:
+
+        P[i, j] = sum_b frames[b, i] * frames[b, j]   (i < F, j < F+L)
+        autoc[l] = sum_i P[i, i + l]                  (l-th diagonal)
+
+    This is the SIMD-tier autocorrelation of the reference
+    (lpc_intrin_*.c lag-8/12/16 kernels) mapped to the matrix unit: the
+    multiply-accumulate work rides the MXU at full tile occupancy and
+    only the [F, F+L] Gram tile's diagonals are touched afterwards (in
+    f64, preserving the blocked-accumulation error bound of the old
+    VPU path).
+    """
+    N = windowed.shape[-1]
+    L = max_lag
+    F = 128
+    Nb = N // F
+    lead = windowed.shape[:-1]
+    blocks = windowed.reshape(lead + (Nb, F))
+    # tail[b, :L] = blocks[b+1, :L]; zero for the last block
+    tail = jnp.concatenate(
+        [blocks[..., 1:, :L],
+         jnp.zeros(lead + (1, L), windowed.dtype)], axis=-2)
+    frames = jnp.concatenate([blocks, tail], axis=-1)   # [..., Nb, F+L]
+    P = jnp.einsum("...bi,...bj->...ij", blocks, frames,
+                   preferred_element_type=jnp.float32)  # [..., F, F+L]
+    outs = [jnp.sum(jnp.diagonal(P, offset=lag, axis1=-2, axis2=-1)
+                    .astype(acc_dtype), axis=-1)
+            for lag in range(L + 1)]
     return jnp.stack(outs, axis=-1)
 
 
@@ -309,10 +349,13 @@ def lpc_residual(x, qcoeffs, shift, orders, bps_eff, mode: str):
         (res_bound < jnp.float64(2 ** 31))
 
     def accumulate(xa, qa):
+        # ONE padded copy of the signal; each tap is a fused slice of it
+        # (a per-tap jnp.pad materializes max_j shifted copies — measured
+        # ~2x the whole stage's traffic)
+        xp = jnp.pad(xa, [(0, 0)] * (x.ndim - 1) + [(max_j, 0)])
         pred = None
         for j in range(max_j):
-            lag = jnp.pad(xa[..., :N - 1 - j],
-                          [(0, 0)] * (x.ndim - 1) + [(j + 1, 0)])
+            lag = xp[..., max_j - 1 - j:max_j - 1 - j + N]
             term = qa[..., :, j][..., None] * lag[..., None, :]
             pred = term if pred is None else pred + term
         return pred

@@ -196,3 +196,64 @@ def test_apply_replaygain_on_decode():
     # album requested but only track tags present -> falls back to track
     out2 = apply_replaygain_on_decode(stream, st, "0an0", "x")
     assert np.array_equal(out, out2)
+
+
+def _run_cli(argv, stdin: bytes | None = None):
+    """Run our CLI in a subprocess (pipes need real stdio)."""
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "flac_tpu.cli", *argv],
+        input=stdin, capture_output=True, env=env, timeout=600)
+
+
+def test_cli_stdin_stdout_pipes(tmp_path):
+    """Encode from stdin '-' to stdout '-' and decode back the same way
+    (pervasive in the reference's shell tests)."""
+    pcm = make_test_signal(192 * 3, channels=2)
+    wav = container.write_wav(pcm, 44100, 16)
+    r = _run_cli(["-1", "-b", "192", "-s", "-o", "-", "-"], stdin=wav)
+    assert r.returncode == 0, r.stderr.decode()
+    stream = r.stdout
+    assert stream[:4] == b"fLaC"
+    r2 = _run_cli(["-d", "-s", "-o", "-", "-"], stdin=stream)
+    assert r2.returncode == 0, r2.stderr.decode()
+    back = container.read_wav(r2.stdout)
+    assert np.array_equal(back.samples, pcm)
+
+
+def test_cli_input_size_raw_stdin(tmp_path):
+    """--input-size truncates raw stdin input (main.c:182)."""
+    pcm = make_test_signal(192 * 2, channels=1)
+    raw = container.write_raw(pcm, 16)
+    keep = 192 * 2  # bytes -> 192 samples mono 16-bit
+    r = _run_cli(["-1", "-b", "192", "-s", "--force-raw-format",
+                  "--channels", "1", "--bps", "16", "--sample-rate",
+                  "44100", "--input-size", str(keep), "-o", "-", "-"],
+                 stdin=raw)
+    assert r.returncode == 0, r.stderr.decode()
+    st = decode_stream_tpu(r.stdout, engine="host")
+    assert st.samples.shape == (1, 192)
+    assert np.array_equal(st.samples, pcm[:, :192])
+
+
+def test_cli_tag_from_file_and_no_utf8(tmp_path):
+    """--tag-from-file reads the value from a file; --no-utf8-convert is
+    accepted (main.c:135,204)."""
+    from flac_tpu.metadata import Chain
+    pcm = make_test_signal(192 * 2, channels=2)
+    wav = tmp_path / "in.wav"
+    wav.write_bytes(container.write_wav(pcm, 44100, 16))
+    val = tmp_path / "desc.txt"
+    val.write_text("hello from a file\n")
+    out = tmp_path / "out.flac"
+    r = _run_cli(["-1", "-b", "192", "-s", "-f", "--no-utf8-convert",
+                  "--tag-from-file", f"DESCRIPTION={val}",
+                  "-T", "TITLE=x", "-o", str(out), str(wav)])
+    assert r.returncode == 0, r.stderr.decode()
+    chain = Chain.read(out.read_bytes())
+    vc = next(b for b in chain.blocks
+              if type(b).__name__ == "VorbisCommentBlock")
+    assert "DESCRIPTION=hello from a file" in vc.comments
+    assert "TITLE=x" in vc.comments
