@@ -410,7 +410,8 @@ def repair_frame_table(data, st: DecodedStream, frames: list) -> list:
     out = list(frames)
     changed = True
     rounds = 0
-    while changed and rounds < 8:
+    max_rounds = 64
+    while changed and rounds < max_rounds:
         changed = False
         rounds += 1
         groups: dict[tuple, list[int]] = {}
@@ -456,4 +457,13 @@ def repair_frame_table(data, st: DecodedStream, frames: list) -> list:
             if i2 != bad_i:
                 g["size"] = end - g["offset"]
         changed = True
+    if changed:
+        # ran out of repair rounds with repairs still pending: surface
+        # it instead of silently returning a still-broken table (the
+        # caller will fail strict decode; this says why)
+        import warnings
+        warnings.warn(
+            f"repair_frame_table gave up after {max_rounds} rounds with "
+            "false-sync repairs still pending; stream has pervasive "
+            "in-payload sync patterns", RuntimeWarning, stacklevel=2)
     return out

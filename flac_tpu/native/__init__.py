@@ -25,10 +25,16 @@ _SRC = os.path.join(_DIR, "flac_native.cpp")
 _SO = os.path.join(_DIR, "_flac_native.so")
 
 _lib = None
+ABI_VERSION = 5     # must match FT_ABI_VERSION in flac_native.cpp
+BUILD_ERROR: str | None = None
 
 
-def _build() -> str | None:
-    if (os.path.exists(_SO)
+def build(force: bool = False) -> str | None:
+    """Compile the native runtime (explicit build step; also invoked
+    lazily at import).  `python -m flac_tpu.native` calls this and
+    reports the outcome."""
+    global BUILD_ERROR
+    if (not force and os.path.exists(_SO)
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
     try:
@@ -38,19 +44,41 @@ def _build() -> str | None:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
              "-o", tmp, _SRC],
-            check=True, capture_output=True)
+            check=True, capture_output=True, text=True)
         os.replace(tmp, _SO)
         return _SO
-    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+    except subprocess.CalledProcessError as e:
+        BUILD_ERROR = (e.stderr or "")[-2000:]
+        return None
+    except (FileNotFoundError, OSError) as e:
+        BUILD_ERROR = str(e)
         return None
 
 
 def _load():
-    global _lib
-    so = _build()
+    global _lib, BUILD_ERROR
+    so = build()
     if so is None:
         return None
     lib = ctypes.CDLL(so)
+    # ABI stamp: a stale checked-out/cached .so must never pair with
+    # newer bindings — rebuild once, then refuse
+    try:
+        lib.ft_abi_version.restype = ctypes.c_int32
+        abi = int(lib.ft_abi_version())
+    except AttributeError:
+        abi = -1
+    if abi != ABI_VERSION:
+        so = build(force=True)
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.ft_abi_version.restype = ctypes.c_int32
+        if int(lib.ft_abi_version()) != ABI_VERSION:
+            BUILD_ERROR = (f"ABI mismatch: .so reports "
+                           f"{int(lib.ft_abi_version())}, bindings need "
+                           f"{ABI_VERSION}")
+            return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     lib.ft_crc8.restype = ctypes.c_uint8
@@ -106,10 +134,20 @@ def _load():
 
 try:
     _load()
-except Exception:
+except Exception as _e:      # pragma: no cover - defensive
+    BUILD_ERROR = BUILD_ERROR or repr(_e)
     _lib = None
 
 AVAILABLE = _lib is not None
+
+if not AVAILABLE:
+    # loud, once: every entry point has a pure-Python fallback, but a
+    # silent 10-100x slowdown is a bug report waiting to happen
+    import sys as _sys
+    print("flac_tpu: native runtime UNAVAILABLE (pure-Python fallbacks "
+          f"active; {BUILD_ERROR or 'no compiler?'}). Run "
+          "`python -m flac_tpu.native` to build and see the error.",
+          file=_sys.stderr)
 
 
 def _u8(buf) -> ctypes.POINTER(ctypes.c_uint8):

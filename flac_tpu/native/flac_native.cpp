@@ -17,7 +17,14 @@
 #include <cstdint>
 #include <cstring>
 
+// Bumped whenever any extern "C" signature or status enum changes; the
+// Python loader refuses (and rebuilds) on mismatch so a stale .so can
+// never be silently used with new bindings.
+#define FT_ABI_VERSION 5
+
 extern "C" {
+
+int32_t ft_abi_version() { return FT_ABI_VERSION; }
 
 // ---------------------------------------------------------------------------
 // CRC-8 (poly x^8+x^2+x+1 = 0x07) and CRC-16 (poly 0x8005), MSB-first

@@ -22,6 +22,18 @@ Replaces bitpack.pack_fields64 for the quad layout when a TPU backend
 is live (2.4 ms vs 8.2 ms per 128-frame batch, measured); capacity is
 capped at _W_PACK words per frame — longer frames flag ok=False and take
 the host safe-path re-encode like any other quad misfit.
+
+Status (round 5): RETAINED AS A VALIDATED REFERENCE KERNEL, opt-in via
+FLAC_TPU_PACK=mxu.  Head-to-head on the full -8 encode the quad-layout
+scatter wins (99.9 vs 94.6 MB/s device PCM) because the quad layout
+already runs the deposit off the critical path; no measured field-count
+regime on this hardware flips that.  The kernel's core lesson — keep
+the one-hot selection in VMEM instead of streaming it through HBM —
+became the design center of the DECODE-side Pallas kernel
+(ops/bitunpack.py _rice_kernel), which is on by default and wins 1.8x
+over its XLA form.  Interpret-mode tests keep this kernel correct so a
+future hardware generation (or a wider-field format change) can
+re-evaluate the crossover with one env flip.
 """
 
 from __future__ import annotations

@@ -47,6 +47,7 @@ def _data_bytes(pcm) -> bytes:
     return inter
 
 
+@pytest.mark.smoke
 def test_wacky_unknown_chunks_before_and_after_fmt():
     """junk/padding/odd chunks interleaved around fmt/data (the
     generate_wackywavs layout: junk before fmt, between fmt and data,

@@ -84,6 +84,7 @@ def test_device_engine_noise_escapes():
     _check(pcm, 16, "noise -0", preset=0)
 
 
+@pytest.mark.smoke
 def test_device_engine_small_blocksize():
     n = 700
     p = np.round(_tone(n, 5000)).astype(np.int32)

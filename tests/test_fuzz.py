@@ -68,6 +68,7 @@ def test_fuzz_splices(base_stream):
         _try_decode(base_stream[:c] + chunk + base_stream[c:])
 
 
+@pytest.mark.smoke
 def test_fuzz_random_garbage():
     rng = np.random.default_rng(0xBAD)
     for size in (0, 1, 3, 16, 100, 4096):

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from flac_tpu.ops.crc import crc8, crc16, batched_crc_device
 from flac_tpu.ops.bitpack import (crc16_words, crc8_prefix, pack_fields,
                                   words_to_bytes, deposit_byte)

@@ -27,6 +27,7 @@ def test_presets_roundtrip(preset):
     assert len(data) < pcm.nbytes // 2  # compresses at all
 
 
+@pytest.mark.smoke
 def test_silence():
     pcm = np.zeros((2, 10000), np.int32)
     cfg = EncoderConfig.from_preset(5)
@@ -47,12 +48,14 @@ def test_full_scale_noise_verbatim_fallback():
     data, st = roundtrip(pcm, EncoderConfig.from_preset(5), batch_frames=2)
 
 
+@pytest.mark.smoke
 def test_wasted_bits_signal():
     pcm = make_test_signal(8192) & ~np.int32(0xF)  # 4 wasted bits
     data, st = roundtrip(pcm, EncoderConfig.from_preset(5), batch_frames=2)
     assert any(s["wasted"] >= 4 for f in st.frames for s in f["subframes"])
 
 
+@pytest.mark.smoke
 def test_mono():
     pcm = make_test_signal(8192, channels=1)
     roundtrip(pcm, EncoderConfig.from_preset(5, channels=1), batch_frames=2)
