@@ -85,6 +85,16 @@ def encode_batch(pcm, first_frame_number, cfg: EncoderConfig,
                                      layout=layout)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "blocksize"))
+def _encode_batch_safe_jit(pcm, first_frame_number, cfg: EncoderConfig,
+                           blocksize: int):
+    """Jitted safe-layout encode for misfit re-encoding (one compile per
+    pow2 batch bucket; the un-jitted op-by-op form costs seconds per
+    frame through a tunneled chip)."""
+    return encode_batch(pcm, first_frame_number, cfg, blocksize,
+                        layout="safe")
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "blocksize",
                                               "fetch_words"))
 def encode_batch_trimmed(pcm, first_frame_number, cfg: EncoderConfig,
@@ -508,26 +518,54 @@ class StreamEncoder:
     def _replace_bad_frames(self, wbytes, lens, blocks, bad, N,
                             base_frame):
         """Re-encode quad-layout misfit frames through the exact safe
-        layout (one-field-per-sample pack) and splice them in.  Rare by
-        construction — pathological k/q combinations, verbatim subframes
-        at high widths — so the B=1 safe trace compiles lazily and runs
-        only for flagged frames."""
+        layout (one-field-per-sample pack) and splice them in.  Misfits
+        are BATCHED into pow2 buckets — transient-heavy content can flag
+        hundreds of frames per super-chunk, and a per-frame B=1 dispatch
+        multiplies the round trips (measured 10x whole-encode collapse
+        on a click corpus).  Frame numbers stay per-frame via an array
+        first_frame_number (encode_batch adds arange(B))."""
         if blocks is None:
             raise RuntimeError(
                 "flagged frames but no retained blocks (encoder bug)")
         lens = np.array(lens, np.int64, copy=True)
         rows = {}
         maxlen = int(lens.max())
-        for i in np.nonzero(bad)[0]:
-            i = int(i)
-            pf = encode_batch(
-                jnp.asarray(blocks[i:i + 1].astype(np.int32)),
-                np.int64(base_frame + i), self.cfg, N, layout="safe")
-            w = np.asarray(pf.words)[0]
-            ln = int(np.asarray(pf.byte_len)[0])
-            rows[i] = (np.ascontiguousarray(w).astype(">u4")
-                       .view(np.uint8), ln)
-            maxlen = max(maxlen, ln)
+        bad_idx = [int(i) for i in np.nonzero(bad)[0]]
+        B = len(blocks)
+        if len(bad_idx) > max(8, B // 8):
+            # dense misfits (transient/click content can flag >half the
+            # batch): one full-batch safe re-encode beats splicing —
+            # the quad layout's "rare misfit" premise doesn't hold here
+            pf = _encode_batch_safe_jit(
+                jnp.asarray(blocks.astype(np.int32)),
+                np.int64(base_frame), self.cfg, N)
+            ws = np.asarray(pf.words)
+            wbytes2 = np.ascontiguousarray(ws).astype(">u4") \
+                .view(np.uint8).reshape(B, -1)
+            return wbytes2, np.asarray(pf.byte_len).astype(np.int64)
+        pos = 0
+        while pos < len(bad_idx):
+            take = bad_idx[pos:pos + 128]
+            pos += len(take)
+            nb = max(1, 1 << (len(take) - 1).bit_length())
+            sel = np.stack([blocks[i] for i in take]
+                           + [blocks[take[-1]]] * (nb - len(take)))
+            # per-frame numbers: pass (number_i - i) so the kernel's
+            # +arange(B) lands each frame on its real number
+            nums = np.asarray(
+                [base_frame + i for i in take]
+                + [base_frame + take[-1]] * (nb - len(take)), np.int64)
+            nums = nums - np.arange(nb, dtype=np.int64)
+            pf = _encode_batch_safe_jit(
+                jnp.asarray(sel.astype(np.int32)),
+                jnp.asarray(nums), self.cfg, N)
+            ws = np.asarray(pf.words)
+            lns = np.asarray(pf.byte_len)
+            for j, i in enumerate(take):
+                ln = int(lns[j])
+                rows[i] = (np.ascontiguousarray(ws[j]).astype(">u4")
+                           .view(np.uint8), ln)
+                maxlen = max(maxlen, ln)
         if maxlen > wbytes.shape[1]:
             wbytes = np.pad(wbytes, ((0, 0), (0, maxlen - wbytes.shape[1])))
         elif not wbytes.flags.writeable:
