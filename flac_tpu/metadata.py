@@ -5,15 +5,17 @@ Host-side counterpart of the reference's three-level metadata interface
 metadata.h:165-1285):
 
   level 0 — one-shot getters (get_streaminfo / get_tags / get_picture...)
+  level 1 — SimpleIterator: in-place single-block file editing with
+            padding absorption; never loads the audio frames
+            (metadata.h:374-663, metadata_iterators.c simple_iterator_*)
   level 2 — Chain: read all blocks, edit, write back with padding reuse
-
-(The reference's level-1 SimpleIterator is an in-place file editor; Chain
-covers its use cases here, using padding reuse or whole-file rewrite.)
 """
 
 from __future__ import annotations
 
+import os
 import struct
+import tempfile
 from dataclasses import dataclass, field
 
 from . import format as fmt
@@ -440,8 +442,9 @@ class Chain:
 
     def __init__(self):
         self.blocks: list = []
-        self._frames: bytes = b""
+        self._frames: bytes | None = b""
         self._meta_bytes: int = 0
+        self._src_path: str | None = None   # lazy file mode (read_file)
 
     @classmethod
     def read(cls, data: bytes) -> "Chain":
@@ -472,8 +475,41 @@ class Chain:
 
     @classmethod
     def read_file(cls, path: str) -> "Chain":
+        """Lazy file mode: parse only the metadata section (headers +
+        bodies — KBs, not the audio).  The frames stay on disk;
+        write_file() patches the metadata region in place when the new
+        section is the same size (the common padding-reuse case), and
+        shifts the tail through a chunked temp-file copy otherwise —
+        so a tag edit on a multi-GB file is O(metadata), not O(file)
+        (the reference's metadata_iterators.c chain write-with-padding
+        behavior)."""
         with open(path, "rb") as f:
-            return cls.read(f.read())
+            if f.read(4) != fmt.STREAM_SYNC_STRING:
+                raise MetadataError("missing fLaC marker")
+            ch = cls()
+            pos, last = 4, False
+            while not last:
+                hdr_b = f.read(4)
+                if len(hdr_b) != 4:
+                    raise MetadataError("truncated metadata")
+                hdr = struct.unpack(">I", hdr_b)[0]
+                last = bool(hdr >> 31)
+                btype = (hdr >> 24) & 0x7F
+                length = hdr & 0xFFFFFF
+                body = f.read(length)
+                if len(body) != length:
+                    raise MetadataError("truncated metadata block")
+                try:
+                    ch.blocks.append(parse_block(btype, body))
+                except (IndexError, struct.error, OverflowError,
+                        UnicodeDecodeError) as e:
+                    raise MetadataError(
+                        f"corrupt metadata block: {e}") from e
+                pos += 4 + length
+        ch._frames = None
+        ch._meta_bytes = pos - 4
+        ch._src_path = path
+        return ch
 
     def get(self, block_type: int):
         for b in self.blocks:
@@ -516,21 +552,58 @@ class Chain:
             out += body
         return bytes(out)
 
-    def write(self) -> bytes:
-        """Serialize the whole stream (metadata + frames)."""
+    def _meta_section(self) -> bytes:
         bodies_len = sum(4 + len(b.to_bytes()) for b in self.blocks
                          if not isinstance(b, PaddingBlock))
         if bodies_len <= self._meta_bytes - 4 or \
                 any(isinstance(b, PaddingBlock) for b in self.blocks):
-            meta = self._serialize(use_padding=bodies_len + 4
+            return self._serialize(use_padding=bodies_len + 4
                                    <= self._meta_bytes)
-        else:
-            meta = self._serialize(use_padding=False)
-        return meta + self._frames
+        return self._serialize(use_padding=False)
+
+    def _load_frames(self) -> bytes:
+        if self._frames is None:
+            with open(self._src_path, "rb") as f:
+                f.seek(self._meta_bytes + 4)
+                self._frames = f.read()
+        return self._frames
+
+    def write(self) -> bytes:
+        """Serialize the whole stream (metadata + frames)."""
+        return self._meta_section() + self._load_frames()
 
     def write_file(self, path: str) -> None:
+        meta = self._meta_section()
+        src = self._src_path
+        if src is not None and os.path.exists(path) \
+                and os.path.samefile(path, src):
+            if len(meta) == self._meta_bytes + 4:
+                # same-size metadata: patch in place, frames untouched
+                with open(path, "r+b") as f:
+                    f.write(meta)
+                return
+            # size changed: shift the tail via a chunked temp-file copy
+            dir_ = os.path.dirname(os.path.abspath(path)) or "."
+            fd, tmp = tempfile.mkstemp(prefix=".flacmeta.", dir=dir_)
+            try:
+                with os.fdopen(fd, "wb") as out, open(src, "rb") as f:
+                    out.write(meta)
+                    f.seek(self._meta_bytes + 4)
+                    while True:
+                        chunk = f.read(_CHUNK)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+                os.replace(tmp, path)
+                tmp = None
+            finally:
+                if tmp is not None:
+                    os.unlink(tmp)
+            self._meta_bytes = len(meta) - 4
+            return
         with open(path, "wb") as f:
-            f.write(self.write())
+            f.write(meta)
+            f.write(self._load_frames())
 
 
 # ---------------------------------------------------------------------------
@@ -551,3 +624,313 @@ def get_cuesheet(path: str) -> CueSheetBlock | None:
 
 def get_picture(path: str) -> PictureBlock | None:
     return Chain.read_file(path).get(fmt.METADATA_TYPE_PICTURE)
+
+
+# ---------------------------------------------------------------------------
+# Level 1 — SimpleIterator (metadata.h:374-663, metadata_iterators.c
+# FLAC__metadata_simple_iterator_*): forward/backward iteration over a
+# file's metadata blocks with in-place editing.  The audio frames are
+# never read into memory: same-size writes patch the block bytes, size
+# changes are absorbed by adjacent PADDING whenever possible, and only
+# when no padding can absorb the delta is the file tail shifted — via a
+# chunked temp-file rewrite (the reference's own strategy for that case).
+# ---------------------------------------------------------------------------
+
+_CHUNK = 1 << 20
+
+
+@dataclass
+class _Entry:
+    offset: int          # file offset of the 4-byte block header
+    type: int
+    length: int          # body length
+    is_last: bool
+
+
+class SimpleIterator:
+    """In-place metadata editor over a FLAC file on disk.
+
+    Mirrors the reference level-1 API: next/prev/is_last, get_block_*,
+    get_block, set_block, insert_block_after, delete_block — with Python
+    exceptions (MetadataError) in place of status codes.  Use as a
+    context manager or call close().
+    """
+
+    def __init__(self, path: str, read_only: bool = False,
+                 preserve_file_stats: bool = False):
+        self.path = path
+        self.read_only = read_only
+        self.preserve_file_stats = preserve_file_stats
+        self._f = open(path, "rb" if read_only else "r+b")
+        try:
+            self._walk()
+        except Exception:
+            self._f.close()
+            raise
+        self._idx = 0
+
+    # -- lifecycle ----------------------------------------------------
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self) -> "SimpleIterator":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- header walk --------------------------------------------------
+
+    def _walk(self) -> None:
+        """(Re)build the block table from the on-disk headers; reads only
+        the 4-byte headers, seeking over every body."""
+        f = self._f
+        f.seek(0)
+        if f.read(4) != fmt.STREAM_SYNC_STRING:
+            raise MetadataError("missing fLaC marker")
+        self._entries: list[_Entry] = []
+        pos, last = 4, False
+        while not last:
+            hdr_b = f.read(4)
+            if len(hdr_b) != 4:
+                raise MetadataError("truncated metadata")
+            hdr = struct.unpack(">I", hdr_b)[0]
+            last = bool(hdr >> 31)
+            e = _Entry(pos, (hdr >> 24) & 0x7F, hdr & 0xFFFFFF, last)
+            self._entries.append(e)
+            pos += 4 + e.length
+            f.seek(pos)
+        self._frames_off = pos
+        if not self._entries or \
+                self._entries[0].type != fmt.METADATA_TYPE_STREAMINFO:
+            raise MetadataError("first block is not STREAMINFO")
+
+    # -- navigation (metadata.h:480-520) ------------------------------
+
+    def next(self) -> bool:
+        if self._idx + 1 >= len(self._entries):
+            return False
+        self._idx += 1
+        return True
+
+    def prev(self) -> bool:
+        if self._idx == 0:
+            return False
+        self._idx -= 1
+        return True
+
+    def is_last(self) -> bool:
+        return self._entries[self._idx].is_last
+
+    def is_writable(self) -> bool:
+        return not self.read_only
+
+    # -- accessors (metadata.h:528-585) -------------------------------
+
+    def get_block_offset(self) -> int:
+        return self._entries[self._idx].offset
+
+    def get_block_type(self) -> int:
+        return self._entries[self._idx].type
+
+    def get_block_length(self) -> int:
+        return self._entries[self._idx].length
+
+    def get_application_id(self) -> bytes:
+        e = self._entries[self._idx]
+        if e.type != fmt.METADATA_TYPE_APPLICATION or e.length < 4:
+            raise MetadataError("current block is not an APPLICATION block")
+        self._f.seek(e.offset + 4)
+        return self._f.read(4)
+
+    def get_block(self):
+        e = self._entries[self._idx]
+        self._f.seek(e.offset + 4)
+        body = self._f.read(e.length)
+        if len(body) != e.length:
+            raise MetadataError("truncated metadata block")
+        return parse_block(e.type, body)
+
+    # -- editing (metadata.h:594-663) ---------------------------------
+
+    def _require_writable(self) -> None:
+        if self.read_only:
+            raise MetadataError("iterator is read-only")
+
+    def _patch(self, offset: int, data: bytes) -> None:
+        self._f.seek(offset)
+        self._f.write(data)
+
+    def _region(self, entries: list[_Entry]) -> tuple[int, int]:
+        start = entries[0].offset
+        end = entries[-1].offset + 4 + entries[-1].length
+        return start, end
+
+    def _rewrite_region(self, start: int, end: int, new: bytes,
+                        keep_offset: int | None = None) -> None:
+        """Replace file bytes [start, end) with `new`, shifting the tail
+        through a temp file in chunks (never holding the frames in
+        memory).  Restores the cursor to the block at `keep_offset`
+        translated into the new layout (callers re-seek by index)."""
+        st = os.stat(self.path) if self.preserve_file_stats else None
+        f = self._f
+        dir_ = os.path.dirname(os.path.abspath(self.path)) or "."
+        fd, tmp = tempfile.mkstemp(prefix=".flacmeta.", dir=dir_)
+        try:
+            with os.fdopen(fd, "wb") as out:
+                f.seek(0)
+                left = start
+                while left:
+                    chunk = f.read(min(_CHUNK, left))
+                    if not chunk:
+                        raise MetadataError("file truncated during edit")
+                    out.write(chunk)
+                    left -= len(chunk)
+                out.write(new)
+                f.seek(end)
+                while True:
+                    chunk = f.read(_CHUNK)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            f.close()
+            os.replace(tmp, self.path)
+            tmp = None
+        finally:
+            if tmp is not None:
+                os.unlink(tmp)
+        if st is not None:
+            os.utime(self.path, ns=(st.st_atime_ns, st.st_mtime_ns))
+        self._f = open(self.path, "r+b")
+
+    def _serialize_entry(self, block, is_last: bool) -> bytes:
+        body = block.to_bytes()
+        if len(body) > 0xFFFFFF:
+            raise MetadataError("metadata block body exceeds 2^24-1 bytes")
+        return block_header(block.TYPE, len(body), is_last) + body
+
+    def _apply(self, lo: int, hi: int, blocks: list, cursor: int) -> None:
+        """Replace entry range [lo, hi) with `blocks` (parsed objects or
+        raw (type, body) pairs), choosing in-place patch when the byte
+        size matches, temp-file shift otherwise; then rewalk and place
+        the cursor at new index `cursor`."""
+        ents = self._entries
+        start, end = self._region(ents[lo:hi]) if hi > lo else \
+            (ents[lo].offset, ents[lo].offset)
+        n_after = len(ents) - hi
+        out = bytearray()
+        for i, blk in enumerate(blocks):
+            last = (n_after == 0) and (i == len(blocks) - 1)
+            if isinstance(blk, tuple):
+                t, body = blk
+                out += block_header(t, len(body), last) + body
+            else:
+                out += self._serialize_entry(blk, last)
+        if not blocks and n_after == 0 and lo > 0:
+            # deleting the trailing block: previous becomes last
+            p = ents[lo - 1]
+            self._patch(p.offset,
+                        block_header(p.type, p.length, True))
+        if len(out) == end - start:
+            self._patch(start, bytes(out))
+        else:
+            self._rewrite_region(start, end, bytes(out))
+        self._walk()
+        self._idx = max(0, min(cursor, len(self._entries) - 1))
+
+    def set_block(self, block, use_padding: bool = True) -> None:
+        """Overwrite the current block (metadata.h:620).  Same-size →
+        pure in-place write; shrink → trailing slack becomes/joins
+        PADDING; grow → absorbed from a following PADDING block when it
+        fits; otherwise the tail is shifted."""
+        self._require_writable()
+        i = self._idx
+        e = self._entries[i]
+        if i == 0 and block.TYPE != fmt.METADATA_TYPE_STREAMINFO:
+            raise MetadataError("block 0 must remain STREAMINFO")
+        body = block.to_bytes()
+        new_sz, old_sz = 4 + len(body), 4 + e.length
+        if new_sz == old_sz:
+            self._patch(e.offset,
+                        block_header(block.TYPE, len(body), e.is_last)
+                        + body)
+            self._entries[i] = _Entry(e.offset, block.TYPE, len(body),
+                                      e.is_last)
+            return
+        nxt = self._entries[i + 1] if i + 1 < len(self._entries) else None
+        if use_padding:
+            if new_sz < old_sz:
+                slack = old_sz - new_sz
+                if nxt is not None and nxt.type == fmt.METADATA_TYPE_PADDING:
+                    # grow the following padding backwards over the slack
+                    pad = (fmt.METADATA_TYPE_PADDING,
+                           b"\x00" * (nxt.length + slack))
+                    self._apply(i, i + 2, [block, pad], i)
+                    return
+                if slack >= 4:
+                    pad = (fmt.METADATA_TYPE_PADDING, b"\x00" * (slack - 4))
+                    self._apply(i, i + 1, [block, pad], i)
+                    return
+            elif nxt is not None and nxt.type == fmt.METADATA_TYPE_PADDING:
+                grow = new_sz - old_sz
+                if nxt.length + 4 == grow:
+                    self._apply(i, i + 2, [block], i)   # consume exactly
+                    return
+                if nxt.length >= grow:
+                    pad = (fmt.METADATA_TYPE_PADDING,
+                           b"\x00" * (nxt.length - grow))
+                    self._apply(i, i + 2, [block, pad], i)
+                    return
+        self._apply(i, i + 1, [block], i)
+
+    def insert_block_after(self, block, use_padding: bool = True) -> None:
+        """Insert after the current block and move to it
+        (metadata.h:643).  With use_padding, the new block is carved out
+        of an immediately-following PADDING block when it fits."""
+        self._require_writable()
+        if block.TYPE == fmt.METADATA_TYPE_STREAMINFO:
+            raise MetadataError("cannot insert a second STREAMINFO")
+        i = self._idx
+        body = block.to_bytes()
+        need = 4 + len(body)
+        nxt = self._entries[i + 1] if i + 1 < len(self._entries) else None
+        if use_padding and nxt is not None \
+                and nxt.type == fmt.METADATA_TYPE_PADDING:
+            if nxt.length + 4 == need:
+                self._apply(i + 1, i + 2, [block], i + 1)
+                return
+            if nxt.length >= need:
+                pad = (fmt.METADATA_TYPE_PADDING,
+                       b"\x00" * (nxt.length - need))
+                self._apply(i + 1, i + 2, [block, pad], i + 1)
+                return
+        self._apply(i + 1, i + 1, [block], i + 1)
+
+    def delete_block(self, use_padding: bool = True) -> None:
+        """Delete the current block and move to the previous one
+        (metadata.h:663).  With use_padding the block's bytes become a
+        PADDING block (header-only write — O(1) even on a huge file),
+        merged with an adjacent following PADDING when present."""
+        self._require_writable()
+        i = self._idx
+        if i == 0:
+            raise MetadataError("cannot delete STREAMINFO")
+        e = self._entries[i]
+        nxt = self._entries[i + 1] if i + 1 < len(self._entries) else None
+        if use_padding:
+            if nxt is not None and nxt.type == fmt.METADATA_TYPE_PADDING:
+                pad = (fmt.METADATA_TYPE_PADDING,
+                       b"\x00" * (e.length + 4 + nxt.length))
+                self._apply(i, i + 2, [pad], i - 1)
+            else:
+                self._patch(e.offset, block_header(
+                    fmt.METADATA_TYPE_PADDING, e.length, e.is_last))
+                self._entries[i] = _Entry(e.offset,
+                                          fmt.METADATA_TYPE_PADDING,
+                                          e.length, e.is_last)
+                self._idx = i - 1
+            return
+        self._apply(i, i + 1, [], i - 1)

@@ -193,3 +193,171 @@ def test_metaflac_list_binary_roundtrip(tmp_path, capsysbinary):
     data = p.read_bytes()
     # the dumped blocks are exactly the file's metadata section
     assert out == data[4:4 + len(out)]
+
+
+# ---------------------------------------------------------------------------
+# Level-1 SimpleIterator (metadata.h:374-663): in-place edits, padding
+# absorption, O(1) delete — the audio frames must never be rewritten
+# unless the metadata region actually has to change size.
+# ---------------------------------------------------------------------------
+
+def _frames_bytes(path):
+    data = path.read_bytes()
+    return data[md.Chain.read(data)._meta_bytes + 4:]
+
+
+def _types(path):
+    return [b.TYPE for b in md.Chain.read_file(str(path)).blocks]
+
+
+def test_simple_iterator_navigation(tmp_path):
+    p = _mk_flac(tmp_path, tags=["A=1"])
+    with md.SimpleIterator(str(p), read_only=True) as it:
+        assert not it.is_writable()
+        assert it.get_block_type() == fmt.METADATA_TYPE_STREAMINFO
+        seen = [it.get_block_type()]
+        while it.next():
+            seen.append(it.get_block_type())
+        assert it.is_last()
+        assert seen == _types(p)
+        while it.prev():
+            pass
+        assert it.get_block_type() == fmt.METADATA_TYPE_STREAMINFO
+        si = it.get_block()
+        assert si.sample_rate == 44100
+
+
+def test_simple_iterator_same_size_edit_in_place(tmp_path):
+    p = _mk_flac(tmp_path, tags=["TITLE=aaaa"])
+    frames0 = _frames_bytes(p)
+    ino0 = p.stat().st_ino
+    with md.SimpleIterator(str(p)) as it:
+        assert it.next()
+        assert it.get_block_type() == fmt.METADATA_TYPE_VORBIS_COMMENT
+        vc = it.get_block()
+        vc.set("TITLE", "bbbb")         # same byte length
+        it.set_block(vc)
+    assert p.stat().st_ino == ino0      # no temp-file rewrite happened
+    assert _frames_bytes(p) == frames0
+    assert md.get_tags(str(p)).get("TITLE") == ["bbbb"]
+
+
+def test_simple_iterator_grow_into_padding(tmp_path):
+    p = _mk_flac(tmp_path, tags=["TITLE=x"])
+    size0 = p.stat().st_size
+    frames0 = _frames_bytes(p)
+    ino0 = p.stat().st_ino
+    with md.SimpleIterator(str(p)) as it:
+        assert it.next()
+        vc = it.get_block()
+        vc.set("COMMENT", "y" * 300)    # grows, but padding absorbs it
+        it.set_block(vc)
+    assert p.stat().st_ino == ino0
+    assert p.stat().st_size == size0
+    assert _frames_bytes(p) == frames0
+    assert md.get_tags(str(p)).get("COMMENT") == ["y" * 300]
+    from flac_tpu.ref_decoder import decode_stream
+    decode_stream(p.read_bytes())   # raises if MD5 mismatches
+
+
+def test_simple_iterator_shrink_leaves_padding(tmp_path):
+    p = _mk_flac(tmp_path, tags=["TITLE=" + "z" * 200])
+    size0 = p.stat().st_size
+    with md.SimpleIterator(str(p)) as it:
+        assert it.next()
+        vc = it.get_block()
+        vc.remove("TITLE")
+        it.set_block(vc)
+    assert p.stat().st_size == size0
+    types = _types(p)
+    assert types.count(fmt.METADATA_TYPE_PADDING) >= 1
+
+
+def test_simple_iterator_grow_beyond_padding_shifts_tail(tmp_path):
+    p = _mk_flac(tmp_path, tags=["T=a"])
+    frames0 = _frames_bytes(p)
+    with md.SimpleIterator(str(p)) as it:
+        assert it.next()
+        vc = it.get_block()
+        vc.set("BIG", "q" * 20000)      # larger than the 4096 padding
+        it.set_block(vc)
+        assert it.get_block_type() == fmt.METADATA_TYPE_VORBIS_COMMENT
+    assert _frames_bytes(p) == frames0
+    assert md.get_tags(str(p)).get("BIG") == ["q" * 20000]
+    from flac_tpu.ref_decoder import decode_stream
+    decode_stream(p.read_bytes())   # raises if MD5 mismatches
+
+
+def test_simple_iterator_delete_is_o1(tmp_path):
+    p = _mk_flac(tmp_path, tags=["T=a"])
+    size0 = p.stat().st_size
+    ino0 = p.stat().st_ino
+    with md.SimpleIterator(str(p)) as it:
+        assert it.next()
+        assert it.get_block_type() == fmt.METADATA_TYPE_VORBIS_COMMENT
+        it.delete_block()               # becomes padding, merged
+        assert it.get_block_type() == fmt.METADATA_TYPE_STREAMINFO
+    assert p.stat().st_ino == ino0      # header-patch only
+    assert p.stat().st_size == size0
+    assert md.get_tags(str(p)) is None
+
+
+def test_simple_iterator_delete_without_padding(tmp_path):
+    p = _mk_flac(tmp_path, tags=["T=a"])
+    size0 = p.stat().st_size
+    with md.SimpleIterator(str(p)) as it:
+        assert it.next()
+        vlen = it.get_block_length()
+        it.delete_block(use_padding=False)
+    assert p.stat().st_size == size0 - 4 - vlen
+    from flac_tpu.ref_decoder import decode_stream
+    decode_stream(p.read_bytes())   # raises if MD5 mismatches
+
+
+def test_simple_iterator_insert_carves_padding(tmp_path):
+    p = _mk_flac(tmp_path)
+    size0 = p.stat().st_size
+    app = md.ApplicationBlock(b"xmpl", b"hello")
+    with md.SimpleIterator(str(p)) as it:
+        # walk to the block just before the trailing padding
+        while not it.is_last():
+            if not it.next():
+                break
+        it.prev()
+        it.insert_block_after(app)
+        assert it.get_block_type() == fmt.METADATA_TYPE_APPLICATION
+    assert p.stat().st_size == size0    # carved from padding
+    ch = md.Chain.read_file(str(p))
+    got = ch.get(fmt.METADATA_TYPE_APPLICATION)
+    assert got is not None and got.app_id == b"xmpl" and got.data == b"hello"
+
+
+def test_simple_iterator_guards(tmp_path):
+    p = _mk_flac(tmp_path)
+    with md.SimpleIterator(str(p)) as it:
+        with pytest.raises(md.MetadataError):
+            it.delete_block()           # cannot delete STREAMINFO
+        with pytest.raises(md.MetadataError):
+            it.set_block(md.PaddingBlock(8))   # block 0 must stay SI
+    with md.SimpleIterator(str(p), read_only=True) as it:
+        with pytest.raises(md.MetadataError):
+            it.delete_block()
+
+
+def test_chain_write_file_in_place(tmp_path):
+    """Lazy file mode: a padding-absorbed tag edit patches the metadata
+    region in place — the audio tail is never rewritten."""
+    p = _mk_flac(tmp_path, tags=["T=a"])
+    ino0, size0 = p.stat().st_ino, p.stat().st_size
+    frames0 = _frames_bytes(p)
+    chain = md.Chain.read_file(str(p))
+    assert chain._frames is None        # frames stayed on disk
+    vc = chain.get(fmt.METADATA_TYPE_VORBIS_COMMENT)
+    vc.set("ALBUM", "in-place edit " * 10)
+    chain.write_file(str(p))
+    st = p.stat()
+    assert (st.st_ino, st.st_size) == (ino0, size0)
+    assert _frames_bytes(p) == frames0
+    assert md.get_tags(str(p)).get("ALBUM") == ["in-place edit " * 10]
+    from flac_tpu.ref_decoder import decode_stream
+    decode_stream(p.read_bytes())
