@@ -144,3 +144,46 @@ def test_host_bitreader_roundtrip():
     br = BitReader(bw.getvalue())
     for v, n in vals:
         assert br.read(n) == v
+
+
+@pytest.mark.parametrize("kmax,plen", [(14, 4), (30, 5)])
+@pytest.mark.parametrize("escape", [False, True])
+def test_partition_cost_table_vs_brute_force(kmax, plen, escape):
+    """The exact cost table (bit-count recurrence, ops/rice.py) must
+    equal a per-partition numpy brute force over every (po, partition,
+    k), including RICE2 magnitudes > 2^30 and the raw-bits escape
+    (stream_encoder.c:4797-4910 semantics)."""
+    import jax.numpy as jnp
+    from flac_tpu.ops import rice as rice_ops
+
+    rng = np.random.default_rng(3)
+    N, max_po = 512, 3
+    BIG = rice_ops.BIG
+    mag = rng.choice(
+        [3, 200, 5000, 1 << 17, (1 << 31) if kmax == 30 else 1 << 19], N)
+    u = (rng.integers(0, 1 << 16, N).astype(np.uint64) * mag
+         // (1 << 16)).astype(np.uint32)
+    order = 7
+    u[:order] = 0
+    bits, ks = rice_ops.partition_cost_table(
+        jnp.asarray(u[None]), jnp.full((1,), order, jnp.int32), N,
+        max_po, kmax=kmax, plen=plen, escape=escape)
+    bits, ks = np.asarray(bits)[0], np.asarray(ks)[0]
+    for po in range(max_po + 1):
+        m = N >> po
+        total = 0
+        for p in range(1 << po):
+            seg = u[p * m:(p + 1) * m].astype(np.int64)
+            n_eff = m - (order if p == 0 else 0)
+            costs = [n_eff * (k + 1) + int(np.sum(seg >> k)) + plen
+                     for k in range(kmax + 1)]
+            bk = int(np.argmin(costs))
+            best = min(costs[bk], BIG)
+            if escape:
+                rawb = int(seg.max()).bit_length()
+                ec = n_eff * rawb + plen + 5
+                if ec < best:
+                    best, bk = ec, rice_ops.ESCAPE_K_BASE + rawb
+            total += best
+            assert int(ks[po, p]) == bk
+        assert int(bits[po]) == min(total, BIG)
